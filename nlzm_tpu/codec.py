@@ -1,0 +1,112 @@
+"""Serial host codec drivers for the NLZM-compatible single-stream format.
+
+This is the reference-model implementation: clear, exact, and used to
+validate both the native C++ runtime and the batched TPU kernels. The file
+layout is:
+
+    u16be hist_bits | u16be frame_bits | frame* | 4-byte zero sentinel
+
+with the ring window sliding (position rebase by one window) whenever the
+virtual write position reaches twice the window size.
+
+Wire parity: NLZM.cpp:1711-2039. The encoder here delegates parsing to
+nlzm_tpu.lz.parse (greedy or optimal); the compressed stream is decodable by
+the reference binary and vice versa.
+"""
+
+from .constants import (
+    CMD_DICT,
+    CMD_LITERAL,
+    CMD_REP,
+    DEFAULT_HIST_BITS,
+    FILE_HEADER_BYTES,
+    MAX_FRAME_BITS,
+    MAX_HIST_BITS,
+    MIN_FRAME_BITS,
+    MIN_HIST_BITS_DECODE,
+    chunk_size_for,
+    frame_bits_for,
+    get_match_min,
+    shrink_hist_bits,
+)
+from .format.frame import SENTINEL_FRAME, FrameReader, FrameWriter
+from .models.lz_model import LZModel
+
+
+class FormatError(ValueError):
+    pass
+
+
+def decode_bytes(data: bytes) -> bytes:
+    """Decode a complete NLZM stream held in memory."""
+    if len(data) < FILE_HEADER_BYTES:
+        raise FormatError("truncated header")
+    hist_bits = int.from_bytes(data[0:2], "big")
+    frame_bits = int.from_bytes(data[2:4], "big")
+    if not (MIN_HIST_BITS_DECODE <= hist_bits <= MAX_HIST_BITS):
+        raise FormatError(f"hist_bits {hist_bits} out of range")
+    if not (MIN_FRAME_BITS <= frame_bits <= MAX_FRAME_BITS):
+        raise FormatError(f"frame_bits {frame_bits} out of range")
+
+    window = 1 << hist_bits
+    mask = window - 1
+    hist = bytearray(window)
+    hist_pos = 0
+
+    model = LZModel()
+    out = bytearray()
+
+    pos = FILE_HEADER_BYTES
+    while True:
+        frame = FrameReader(data, pos)
+        if frame.is_sentinel:
+            break
+        pos += frame.consumed
+
+        if hist_pos >= 2 * window:
+            hist_pos -= window
+
+        while frame.num_ops > 0:
+            cmd = model.decode_cmd(frame)
+            if cmd == CMD_LITERAL:
+                y = model.decode_literal(frame)
+                hist[hist_pos & mask] = y
+                hist_pos += 1
+                out.append(y)
+            elif cmd == CMD_DICT:
+                lv = model.decode_lv(frame)
+                dv = model.decode_dv(frame, lv) + 1
+                length = lv + get_match_min(dv)
+                model.rep.add(dv)
+                for _ in range(length):
+                    y = hist[(hist_pos - dv) & mask]
+                    hist[hist_pos & mask] = y
+                    hist_pos += 1
+                    out.append(y)
+            elif cmd == CMD_REP:
+                rep_idx = frame.read_bits(2)
+                lv = model.decode_lv(frame)
+                dv = model.rep.table[rep_idx]
+                length = lv + get_match_min(dv)
+                model.rep.add(dv)
+                for _ in range(length):
+                    y = hist[(hist_pos - dv) & mask]
+                    hist[hist_pos & mask] = y
+                    hist_pos += 1
+                    out.append(y)
+            else:
+                raise FormatError(f"reserved command {cmd}")
+
+    return bytes(out)
+
+
+def encode_bytes(data: bytes, hist_bits: int = DEFAULT_HIST_BITS, parser: str = "optimal") -> bytes:
+    """Encode `data` into an NLZM stream (reference-decodable).
+
+    parser: "greedy" (hash-chain matcher, fast) or "optimal"
+    (forward-graph parse with the full matcher suite, best ratio).
+    """
+    from .lz.encoder import SerialEncoder
+
+    hist_bits = shrink_hist_bits(hist_bits, len(data))
+    return SerialEncoder(hist_bits, parser=parser).encode(data)
