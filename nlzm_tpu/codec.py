@@ -108,5 +108,8 @@ def encode_bytes(data: bytes, hist_bits: int = DEFAULT_HIST_BITS, parser: str = 
     """
     from .lz.encoder import SerialEncoder
 
+    if parser not in ("greedy", "optimal"):
+        raise ValueError(f"unknown parser {parser!r}; expected 'greedy' or 'optimal'")
+    hist_bits = max(MIN_HIST_BITS_DECODE, min(MAX_HIST_BITS, hist_bits))
     hist_bits = shrink_hist_bits(hist_bits, len(data))
     return SerialEncoder(hist_bits, parser=parser).encode(data)
