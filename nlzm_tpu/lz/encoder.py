@@ -38,21 +38,25 @@ class SerialEncoder:
     def __init__(self, hist_bits: int, parser: str = "optimal") -> None:
         self.hist_bits = hist_bits
         self.parser = parser
+        self.total_reads = 0  # coded items across all frames
+        self.total_cmds = 0  # LZ commands emitted
 
     def encode(self, data: bytes) -> bytes:
-        hist_bits = self.hist_bits
-        frame_bits = frame_bits_for(hist_bits)
-
         out = bytearray()
-        out += hist_bits.to_bytes(2, "big")
-        out += frame_bits.to_bytes(2, "big")
-
-        if self.parser == "greedy":
-            self._encode_greedy(data, out, hist_bits, frame_bits)
-        else:
-            self._encode_optimal(data, out, hist_bits, frame_bits)
-
+        out += self.hist_bits.to_bytes(2, "big")
+        out += frame_bits_for(self.hist_bits).to_bytes(2, "big")
+        out += self.encode_frames(data)
         out += SENTINEL_FRAME
+        return bytes(out)
+
+    def encode_frames(self, data: bytes) -> bytes:
+        """Frames only - no file header, no sentinel (block-container payload)."""
+        out = bytearray()
+        frame_bits = frame_bits_for(self.hist_bits)
+        if self.parser == "greedy":
+            self._encode_greedy(data, out, self.hist_bits, frame_bits)
+        else:
+            self._encode_optimal(data, out, self.hist_bits, frame_bits)
         return bytes(out)
 
     # ---- optimal (reference-parity) path ----
@@ -104,6 +108,7 @@ class SerialEncoder:
 
                 c, length, dlt = ops[op_i]
                 op_i += 1
+                self.total_cmds += 1
                 if c == CMD_LITERAL:
                     y = chunk[p]
                     d.push(y)
@@ -122,6 +127,7 @@ class SerialEncoder:
                         d.push(chunk[p + i])
                     p += length
 
+            self.total_reads += frame.num_ops
             out += frame.flush()
             chunk_start += p_end
 
@@ -171,6 +177,7 @@ class SerialEncoder:
                     if mlen >= get_match_min(rep0) and mlen + 1 >= best_len:
                         best_len, best_delta, best_rep = mlen, rep0, 0
 
+            self.total_cmds += 1
             if best_len >= MATCH_MIN:
                 if best_rep >= 0:
                     model.encode_rep(frame, best_rep, best_len)
@@ -183,5 +190,6 @@ class SerialEncoder:
                 pos += 1
 
             if pos >= chunk_end:
+                self.total_reads += frame.num_ops
                 out += frame.flush()
                 chunk_end = min(chunk_end + chunk_size, n)

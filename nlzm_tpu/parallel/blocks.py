@@ -1,0 +1,182 @@
+"""NLZP block container: data-parallel profile of the NLZM format.
+
+The single-stream NLZM format decodes strictly serially (adaptive model +
+rANS state + LZ history all chain per symbol), so the TPU/multi-chip scaling
+unit is the *block*: the input is split into fixed-size blocks, each encoded
+as an independent NLZM frame stream with a fresh model and window. Blocks
+decode in lockstep on the TPU (nlzm_tpu.ops.decode_ops) and shard
+data-parallel across a device mesh (nlzm_tpu.parallel.mesh).
+
+Container layout (all integers big-endian):
+
+    0   magic  b"NLZP"
+    4   u8     version (1)
+    5   u8     hist_bits     (per-block window)
+    6   u8     frame_bits
+    7   u8     reserved
+    8   u32    block_size    (uncompressed bytes per block; last may be short)
+    12  u64    total uncompressed length
+    20  u32    num_blocks
+    24  per block: u32 comp_size | u32 total_reads | u32 num_cmds
+    ... concatenated block payloads (frames only - no per-block file header,
+        no sentinel; zero padding after each payload terminates it)
+
+The per-block model restart costs ~1-3% ratio versus single-stream NLZM;
+that is the price of parallel decode (SURVEY.md §7).
+"""
+
+import io
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import frame_bits_for
+from ..lz.encoder import SerialEncoder
+
+MAGIC = b"NLZP"
+VERSION = 1
+_HDR = struct.Struct(">4sBBBBIQI")
+_BLK = struct.Struct(">III")
+
+DEFAULT_BLOCK_SIZE = 1 << 17  # 128 KB: 5 frames/block at hist_bits 17
+
+
+@dataclass
+class ContainerInfo:
+    hist_bits: int
+    frame_bits: int
+    block_size: int
+    total_len: int
+    comp_sizes: list
+    total_reads: list
+    num_cmds: list
+    payload_off: int
+
+
+def hist_bits_for_block(block_size: int) -> int:
+    """Window covering the whole block (blocks never slide)."""
+    return max(12, (max(block_size, 2) - 1).bit_length())
+
+
+def encode_container(
+    data: bytes,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    parser: str = "greedy",
+) -> bytes:
+    """Host-serial block encode (the TPU/native paths replace this engine)."""
+    hist_bits = hist_bits_for_block(block_size)
+    num_blocks = (len(data) + block_size - 1) // block_size if data else 0
+
+    payloads = []
+    meta = []
+    for b in range(num_blocks):
+        chunk = data[b * block_size : (b + 1) * block_size]
+        enc = SerialEncoder(hist_bits, parser=parser)
+        payload = enc.encode_frames(chunk)
+        payloads.append(payload)
+        meta.append((len(payload), enc.total_reads, enc.total_cmds))
+
+    out = io.BytesIO()
+    out.write(
+        _HDR.pack(
+            MAGIC,
+            VERSION,
+            hist_bits,
+            frame_bits_for(hist_bits),
+            0,
+            block_size,
+            len(data),
+            num_blocks,
+        )
+    )
+    for m in meta:
+        out.write(_BLK.pack(*m))
+    for p in payloads:
+        out.write(p)
+    return out.getvalue()
+
+
+def parse_container(data: bytes) -> ContainerInfo:
+    magic, version, hist_bits, frame_bits, _, block_size, total_len, num_blocks = _HDR.unpack_from(
+        data, 0
+    )
+    if magic != MAGIC:
+        raise ValueError("not an NLZP container")
+    if version != VERSION:
+        raise ValueError(f"unsupported NLZP version {version}")
+    comp_sizes, reads, cmds = [], [], []
+    off = _HDR.size
+    for _ in range(num_blocks):
+        cs, rd, nc = _BLK.unpack_from(data, off)
+        comp_sizes.append(cs)
+        reads.append(rd)
+        cmds.append(nc)
+        off += _BLK.size
+    return ContainerInfo(
+        hist_bits=hist_bits,
+        frame_bits=frame_bits,
+        block_size=block_size,
+        total_len=total_len,
+        comp_sizes=comp_sizes,
+        total_reads=reads,
+        num_cmds=cmds,
+        payload_off=off,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_streams(data: bytes, info: ContainerInfo) -> np.ndarray:
+    """[B, S] uint8: per-block payloads, zero padded (+8 terminator slack)."""
+    n = len(info.comp_sizes)
+    s = _round_up(max(info.comp_sizes, default=1) + 8, 256)
+    arr = np.zeros((n, s), dtype=np.uint8)
+    off = info.payload_off
+    for b, cs in enumerate(info.comp_sizes):
+        arr[b, :cs] = np.frombuffer(data, dtype=np.uint8, count=cs, offset=off)
+        off += cs
+    return arr
+
+
+def decode_container(data: bytes, engine: str = "tpu") -> bytes:
+    """Decode an NLZP container.
+
+    engine="tpu": batched FSM decode + LZ expansion (jit; runs on whatever
+    jax backend is active). engine="serial": per-block host reference path.
+    """
+    info = parse_container(data)
+    if not info.comp_sizes:
+        return b""
+
+    if engine == "serial":
+        from ..codec import decode_bytes
+        from ..format.frame import SENTINEL_FRAME
+
+        out = bytearray()
+        off = info.payload_off
+        header = info.hist_bits.to_bytes(2, "big") + info.frame_bits.to_bytes(2, "big")
+        for cs in info.comp_sizes:
+            stream = header + data[off : off + cs] + SENTINEL_FRAME
+            out += decode_bytes(stream)
+            off += cs
+        return bytes(out)
+
+    import jax.numpy as jnp
+
+    from ..ops.decode_ops import fsm_decode, lz_expand
+
+    streams = pack_streams(data, info)
+    # +1 step: every block spends one scan step on its terminator header
+    num_steps = _round_up(max(info.total_reads) + 1, 512)
+    max_cmds = _round_up(max(info.num_cmds) + 1, 256)
+
+    op_len, op_val, n_cmds = fsm_decode(jnp.asarray(streams), num_steps, max_cmds)
+    out, pos = lz_expand(op_len, op_val, n_cmds, info.block_size, max_cmds)
+
+    out_np = np.asarray(out).reshape(-1)
+    # blocks are block_size-wide; the last block may be short
+    full = out_np[: len(info.comp_sizes) * info.block_size]
+    return full.tobytes()[: info.total_len]

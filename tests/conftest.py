@@ -9,11 +9,18 @@ import os
 import subprocess
 from pathlib import Path
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on a virtual 8-device CPU mesh, never the tunneled TPU. The
+# container's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon pinned, so setting the env var here is too late -
+# jax.config.update after import is the only reliable override.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
