@@ -1,0 +1,618 @@
+// Serial encode/decode drivers: forward-graph optimal parse, greedy parse,
+// chunked frame emission, and the op-array LZ expansion used as phase 2 of
+// the TPU pipeline. Choice parity: NLZM.cpp:1458-1651 (parse),
+// 1711-2039 (drivers); output bytes match the reference encoder's.
+#include <atomic>
+#include <cstdio>
+#include <memory>
+#include <thread>
+
+#include "frame.h"
+#include "match.h"
+
+namespace nlzm {
+
+struct ParseCell {
+  u32 cost;
+  u32 link;
+  u32 len;
+  u32 delta;
+  u8 cmd;
+};
+
+struct RepQuad {
+  u32 d[4];
+  inline void add(u32 nd) {
+    if (nd == d[0] || nd == d[1] || nd == d[2] || nd == d[3]) return;
+    d[3] = d[2];
+    d[2] = d[1];
+    d[1] = d[0];
+    d[0] = nd;
+  }
+  inline int find(u32 nd) const {
+    for (int i = 0; i < 4; i++)
+      if (d[i] == nd) return i;
+    return -1;
+  }
+};
+
+// ---- model cost helpers (read-only; parity NLZM.cpp:1208-1272,1418-1426) ----
+static inline u32 cost_length(const Model& m, u32 lv) {
+  u32 c = m.len_dir.cost(lv < 7 ? lv : 7);
+  if (lv >= 7) {
+    u32 e = lv - 7;
+    c += m.len_ehi.cost(e >> 4) + m.len_elo[e >> 4].cost(e & 15);
+  }
+  return c;
+}
+
+static inline u32 cost_literal(const Model& m, int y) {
+  return m.cmd.cost(0) + m.lit_hi.cost(y >> 4) + m.lit_lo[y >> 4].cost(y & 15);
+}
+
+static inline u32 cost_match(const Model& m, u32 delta, u32 len) {
+  u32 lv = len - match_min_for(delta);
+  u32 lc = lv < 3 ? lv : 3;
+  u32 c = m.cmd.cost(1) + cost_length(m, lv);
+  u32 dv = delta - 1;
+  if (dv >= 4) {
+    int nb = 32 - __builtin_clz(dv);  // bit length
+    int add_bits = nb - 2;
+    c += u32(add_bits) << 5;
+    dv = u32(((nb - 1) << 1) + ((dv >> add_bits) & 1));
+  }
+  return c + m.dist_hi[lc].cost(dv >> 3) + m.dist_lo[lc][dv >> 3].cost(dv & 7);
+}
+
+static inline u32 cost_rep(const Model& m, u32 delta, u32 len) {
+  return m.cmd.cost(2) + cost_length(m, len - match_min_for(delta)) + (2u << 5);
+}
+
+// ---- model emitters (mutate CDFs; parity NLZM.cpp:1274-1367,1428-1439) ----
+static inline void emit_length(FrameSink& f, Model& m, u32 lv) {
+  u32 dsym = lv < 7 ? lv : 7;
+  f.put_cdf(m.len_dir, dsym);
+  m.len_dir.adapt(dsym);
+  if (lv >= 7) {
+    u32 e = lv - 7, hi = e >> 4, lo = e & 15;
+    f.put_cdf(m.len_ehi, hi);
+    f.put_cdf(m.len_elo[hi], lo);
+    m.len_ehi.adapt(hi);
+    m.len_elo[hi].adapt(lo);
+  }
+}
+
+static inline void emit_literal(FrameSink& f, Model& m, int y) {
+  int hi = y >> 4, lo = y & 15;
+  f.put_cdf(m.cmd, 0);
+  f.put_cdf(m.lit_hi, hi);
+  f.put_cdf(m.lit_lo[hi], lo);
+  m.cmd.adapt(0);
+  m.lit_hi.adapt(hi);
+  m.lit_lo[hi].adapt(lo);
+}
+
+static inline void emit_match(FrameSink& f, Model& m, u32 delta, u32 len) {
+  f.put_cdf(m.cmd, 1);
+  m.cmd.adapt(1);
+  u32 lv = len - match_min_for(delta);
+  u32 lc = lv < 3 ? lv : 3;
+  emit_length(f, m, lv);
+
+  u32 dv = delta - 1;
+  u32 add_bits = 0, extra = 0;
+  if (dv >= 4) {
+    int nb = 32 - __builtin_clz(dv);
+    add_bits = u32(nb - 2);
+    extra = dv & ((1u << add_bits) - 1);
+    dv = u32(((nb - 1) << 1) + ((dv >> add_bits) & 1));
+  }
+  u32 hi = dv >> 3, lo = dv & 7;
+  f.put_cdf(m.dist_hi[lc], hi);
+  f.put_cdf(m.dist_lo[lc][hi], lo);
+  m.dist_hi[lc].adapt(hi);
+  m.dist_lo[lc][hi].adapt(lo);
+  if (add_bits) {
+    if (add_bits < 4) {
+      f.put_bits(extra, add_bits);
+    } else {
+      if (add_bits > 4) f.put_bits(extra >> 4, add_bits - 4);
+      f.put_bits(extra & 15, 4);
+    }
+  }
+}
+
+static inline void emit_rep(FrameSink& f, Model& m, u32 rep_idx, u32 len) {
+  f.put_cdf(m.cmd, 2);
+  m.cmd.adapt(2);
+  emit_length(f, m, len - match_min_for(m.rep[rep_idx]));
+  f.put_bits(rep_idx, 2);
+}
+
+// ---- forward-graph optimal parser (parity NLZM.cpp:1464-1651) ----
+struct Parser {
+  ParseCell cell[kParseSize + 1];
+  RepQuad carried[0x200];
+  Candidates mt_carry;
+  Candidates mt;
+
+  Parser() { mt_carry.max_len = 0; }
+
+  // Returns covered length; ops land in cell[0..] as a forward chain via
+  // backtracking done by the caller.
+  u32 run(const Model& m, const View& d, HtFinder& ht2, HtFinder& ht3, BtFinder& bt4,
+          RkFinder& rk, u32 max_parse) {
+    if (max_parse > kParseSize) max_parse = kParseSize;
+
+    cell[0] = {0, kEmpty, 0, 0, 0};
+    std::memcpy(carried[0].d, m.rep, sizeof(carried[0].d));
+    cell[1] = {kEmpty, 0, 0, 0, 0};
+    carried[1] = carried[0];
+
+    const u8* look = d.ptr(d.hist_pos);
+    u32 p = 0, end_p = 1;
+    while (p < end_p) {
+      u32 np = p + 1;
+      u32 base = cell[p].cost;
+      const RepQuad& state_p = carried[p & 0x1FF];
+
+      u32 lit_cost = base + cost_literal(m, look[p]);
+      if (cell[np].cost > lit_cost) {
+        cell[np] = {lit_cost, p, 0, 0, 0};
+        carried[np & 0x1FF] = state_p;
+      }
+
+      mt.carry_from(mt_carry);
+      if (mt.max_len > 0 && d.hist_pos + p >= mt.delta[mt.max_len]) {
+        u32 dlt = mt.delta[mt.max_len];
+        u32 sp = d.hist_pos + p - dlt;
+        while (mt.max_len < kMatchMax && d.look_len > mt.max_len + p &&
+               d.at(sp + mt.max_len) == look[p + mt.max_len]) {
+          mt.max_len++;
+          mt.delta[mt.max_len] = dlt;
+        }
+      }
+
+      u32 vp = d.hist_pos + p;
+      if (mt.max_len < kNiceLen) {
+        if (d.look_len >= 4 + p) {
+          ht2.probe(mt, hash_of(read2(look + p)), vp, d);
+          ht3.probe(mt, hash_of(read3(look + p)), vp, d);
+          bt4.probe(mt, hash_of(read4(look + p)), vp, d);
+        }
+        if (d.look_len >= 256 + p) rk.probe(mt, vp, d);
+      } else if (!(p & kSkipMask)) {
+        if (d.look_len >= 4 + p) {
+          ht2.probe(mt, hash_of(read2(look + p)), vp, d);
+          ht3.probe(mt, hash_of(read3(look + p)), vp, d);
+        }
+        if (d.look_len >= 256 + p) rk.probe(mt, vp, d);
+      }
+
+      mt_carry = mt;
+
+      u32 max_len = mt.max_len < max_parse - p ? mt.max_len : max_parse - p;
+      if (max_len < kMatchMin) max_len = 0;
+
+      while (end_p < max_len + p) {
+        ++end_p;
+        cell[end_p].cost = kEmpty;
+        cell[end_p].link = kEmpty;
+      }
+
+      u8 checked_rep = 0;
+      if (max_len) {
+        u32 tstep = (max_len - kMatchMin) >> 4;
+        tstep += (tstep == 0);
+        for (u32 tlen = max_len; tlen >= kMatchMin; tlen -= (tstep < tlen ? tstep : tlen)) {
+          u32 dlt = mt.delta[tlen];
+          if (tlen < match_min_for(dlt)) continue;
+          u32 tp = tlen + p;
+          u32 mc = base + cost_match(m, dlt, tlen);
+          if (cell[tp].cost > mc) {
+            cell[tp] = {mc, p, tlen, dlt, 1};
+            carried[tp & 0x1FF] = state_p;
+            carried[tp & 0x1FF].add(dlt);
+          }
+          int ri = state_p.find(dlt);
+          if (ri < 0) continue;
+          checked_rep |= u8(1 << ri);
+          u32 rc = base + cost_rep(m, dlt, tlen);
+          if (cell[tp].cost > rc) {
+            cell[tp] = {rc, p, tlen, u32(ri), 2};
+            carried[tp & 0x1FF] = state_p;
+            carried[tp & 0x1FF].add(dlt);
+          }
+        }
+      }
+
+      if (checked_rep != 15) {
+        for (u32 ri = 0; ri < 4; ri++) {
+          u32 rd = state_p.d[ri];
+          if ((checked_rep >> ri) & 1 || rd >= vp) continue;
+          u32 mlen = d.match_len(vp - rd, vp, max_parse - p);
+          if (mlen > kMatchMax) mlen = kMatchMax;
+          if (mlen >= match_min_for(rd)) {
+            while (end_p < mlen + p) {
+              ++end_p;
+              cell[end_p].cost = kEmpty;
+              cell[end_p].link = kEmpty;
+            }
+            u32 tp = mlen + p;
+            u32 rc = base + cost_rep(m, rd, mlen);
+            if (cell[tp].cost > rc) {
+              cell[tp] = {rc, p, mlen, ri, 2};
+              carried[tp & 0x1FF] = state_p;
+              carried[tp & 0x1FF].add(rd);
+            }
+          }
+        }
+      }
+
+      ++p;
+    }
+    return end_p;
+  }
+};
+
+// ---- encode driver ----
+struct EncodeStats {
+  u64 reads = 0;
+  u64 cmds = 0;
+};
+
+// Optimal-parse encode of one logical stream (frames only).
+static void encode_frames_optimal(const u8* src, i64 n, int hist_bits, std::vector<u8>& out,
+                                  EncodeStats& stats) {
+  const u32 window = 1u << hist_bits;
+  const int frame_bits = frame_bits_for(hist_bits);
+  const u32 chunk_size = chunk_size_for(frame_bits);
+  const u32 chunk_feed = chunk_size + kMatchMax + 1;
+
+  auto clampi = [](int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); };
+
+  View d;
+  d.buf = src;
+  d.abs_base = 0;
+  d.hist_pos = 0;
+  d.mask = window - 1;
+
+  Model m;
+  m.init();
+  FrameSink frame;
+
+  HtFinder ht2, ht3;
+  BtFinder bt4;
+  RkFinder rk;
+  ht2.setup(12, 1, hist_bits);
+  ht3.setup(12 + clampi(hist_bits, 15, 17) - 15, 2, hist_bits);
+  bt4.setup(13 + clampi(hist_bits, 16, 20) - 16, hist_bits);
+  rk.setup(15 + clampi(hist_bits, 16, 22) - 16, hist_bits);
+
+  auto parser = std::make_unique<Parser>();
+
+  i64 chunk_start = 0;
+  while (chunk_start < n) {
+    u32 chunk_avail = u32(n - chunk_start < i64(chunk_feed) ? n - chunk_start : chunk_feed);
+    u32 p_end = chunk_avail < chunk_size ? chunk_avail : chunk_size;
+
+    if (d.hist_pos >= 2 * window) {
+      d.hist_pos -= window;
+      d.abs_base += window;
+      ht2.shift(window);
+      ht3.shift(window);
+      bt4.shift(window);
+      rk.shift(window);
+    }
+
+    u32 p = 0, parse_end = 0, parse_start = 0;
+    while (p < p_end) {
+      if (p == parse_end) {
+        d.look_len = chunk_avail - p;
+        // hist_pos tracks committed bytes; parser sees lookahead at p
+        u32 plen = parser->run(m, d, ht2, ht3, bt4, rk, p_end - p);
+        // backtrack the shortest path into a forward chain using links
+        u32 cur = plen;
+        u32 nxt = kEmpty;
+        while (cur != kEmpty) {
+          u32 prev = parser->cell[cur].link;
+          parser->cell[cur].link = nxt;
+          nxt = cur;
+          cur = prev;
+        }
+        parse_start = p;
+        parse_end = p + plen;
+      }
+
+      // the op leaving this boundary is stored at the next chain node
+      u32 local = p - parse_start;
+      u32 to = parser->cell[local].link;
+      const ParseCell& target = parser->cell[to];
+      stats.cmds++;
+      if (target.cmd == 0) {
+        int y = d.at(d.hist_pos);
+        emit_literal(frame, m, y);
+        d.hist_pos++;
+        p++;
+      } else if (target.cmd == 1) {
+        emit_match(frame, m, target.delta, target.len);
+        m.rep_add(target.delta);
+        d.hist_pos += target.len;
+        p += target.len;
+      } else {
+        u32 delta = m.rep[target.delta];
+        emit_rep(frame, m, target.delta, target.len);
+        m.rep_add(delta);
+        d.hist_pos += target.len;
+        p += target.len;
+      }
+    }
+
+    stats.reads += frame.ops;
+    frame.serialize(out);
+    chunk_start += p_end;
+  }
+}
+
+// Greedy hash-4 encode (fast path; mirrors the Python greedy engine).
+static void encode_frames_greedy(const u8* src, i64 n, int hist_bits, std::vector<u8>& out,
+                                 EncodeStats& stats) {
+  const u32 reach = (1u << hist_bits) - 1;
+  const int frame_bits = frame_bits_for(hist_bits);
+  const u32 chunk_size = chunk_size_for(frame_bits);
+
+  Model m;
+  m.init();
+  FrameSink frame;
+  std::vector<u32> heads(size_t(1) << 17, kEmpty);
+
+  i64 pos = 0;
+  i64 chunk_end = n < i64(chunk_size) ? n : i64(chunk_size);
+  while (pos < n) {
+    u32 best_len = 0, best_delta = 0;
+    int best_rep = -1;
+    u32 limit = u32(chunk_end - pos < i64(kMatchMax) ? chunk_end - pos : kMatchMax);
+
+    if (limit >= kMatchMin && pos + 4 <= n) {
+      u32 h = hash_of(read4(src + pos)) >> 15;
+      u32 cand = heads[h];
+      heads[h] = u32(pos);
+      if (cand != kEmpty && u64(cand) < u64(pos)) {
+        u32 delta = u32(pos) - cand;
+        if (delta <= reach) {
+          u32 mlen = 0;
+          while (mlen < limit && src[cand + mlen] == src[pos + mlen]) mlen++;
+          if (mlen >= match_min_for(delta)) {
+            best_len = mlen;
+            best_delta = delta;
+          }
+        }
+      }
+      u32 rep0 = m.rep[0];
+      if (i64(rep0) <= pos && rep0 <= reach) {
+        u32 mlen = 0;
+        const u8* s = src + pos - rep0;
+        while (mlen < limit && s[mlen] == src[pos + mlen]) mlen++;
+        if (mlen >= match_min_for(rep0) && mlen + 1 >= best_len) {
+          best_len = mlen;
+          best_delta = rep0;
+          best_rep = 0;
+        }
+      }
+    }
+
+    stats.cmds++;
+    if (best_len >= kMatchMin) {
+      if (best_rep >= 0) {
+        emit_rep(frame, m, u32(best_rep), best_len);
+      } else {
+        emit_match(frame, m, best_delta, best_len);
+      }
+      m.rep_add(best_delta);
+      pos += best_len;
+    } else {
+      emit_literal(frame, m, src[pos]);
+      pos++;
+    }
+
+    if (pos >= chunk_end) {
+      stats.reads += frame.ops;
+      frame.serialize(out);
+      chunk_end = chunk_end + i64(chunk_size) < n ? chunk_end + i64(chunk_size) : n;
+    }
+  }
+}
+
+// ---- decode driver (parity NLZM.cpp:1955-2024) ----
+static i64 decode_frames(const u8* src, i64 n, int hist_bits, u8* dst, i64 cap) {
+  const u32 window = 1u << hist_bits;
+  (void)window;
+  Model m;
+  m.init();
+  FrameSource fr;
+
+  const u8* p = src;
+  const u8* limit = src + n;
+  i64 w = 0;
+  while (fr.init(p, limit)) {
+    p += fr.consumed;
+    while (fr.ops > 0) {
+      int cmd = fr.get_cdf(m.cmd);
+      if (cmd == 0) {
+        int hi = fr.get_cdf(m.lit_hi);
+        int lo = fr.get_cdf(m.lit_lo[hi]);
+        if (w >= cap) return -1;
+        dst[w++] = u8((hi << 4) | lo);
+      } else {
+        u32 lv, dv;
+        if (cmd == 2) {
+          u32 ri = fr.get_bits(2);
+          lv = u32(fr.get_cdf(m.len_dir));
+          if (lv == 7) {
+            int hi = fr.get_cdf(m.len_ehi);
+            int lo = fr.get_cdf(m.len_elo[hi]);
+            lv += u32((hi << 4) + lo);
+          }
+          dv = m.rep[ri];
+        } else {
+          lv = u32(fr.get_cdf(m.len_dir));
+          if (lv == 7) {
+            int hi = fr.get_cdf(m.len_ehi);
+            int lo = fr.get_cdf(m.len_elo[hi]);
+            lv += u32((hi << 4) + lo);
+          }
+          u32 lc = lv < 3 ? lv : 3;
+          u32 sh = u32(fr.get_cdf(m.dist_hi[lc]));
+          u32 sl = u32(fr.get_cdf(m.dist_lo[lc][sh]));
+          dv = (sh << 3) + sl;
+          if (dv >= 4) {
+            u32 ab = (dv >> 1) - 1;
+            dv = (2 + (dv & 1)) << ab;
+            if (ab < 4) {
+              dv += fr.get_bits(ab);
+            } else {
+              ab -= 4;
+              if (ab > 0) dv += fr.get_bits(ab) << 4;
+              dv += fr.get_bits(4);
+            }
+          }
+          dv += 1;
+        }
+        u32 len = lv + match_min_for(dv);
+        m.rep_add(dv);
+        if (w + i64(len) > cap || i64(dv) > w) return -1;
+        // overlap-correct byte copy
+        const u8* s = dst + w - dv;
+        u8* o = dst + w;
+        for (u32 i = 0; i < len; i++) o[i] = s[i];
+        w += len;
+      }
+    }
+  }
+  return w;
+}
+
+// ---- op-array LZ expansion (phase 2 of the TPU pipeline) ----
+// op_len[t]==0 => literal with byte op_val[t]; else match (len, delta).
+static i64 expand_ops(const i32* op_len, const i32* op_val, i64 t_count, u8* dst, i64 cap) {
+  i64 w = 0;
+  for (i64 t = 0; t < t_count; t++) {
+    i32 len = op_len[t];
+    if (len == 0) {
+      if (w >= cap) return -1;
+      dst[w++] = u8(op_val[t]);
+    } else {
+      i64 delta = op_val[t];
+      if (w + len > cap || delta > w || delta < 1) return -1;
+      const u8* s = dst + w - delta;
+      u8* o = dst + w;
+      for (i32 i = 0; i < len; i++) o[i] = s[i];
+      w += len;
+    }
+  }
+  return w;
+}
+
+}  // namespace nlzm
+
+// ======================== C API ========================
+using namespace nlzm;
+
+extern "C" {
+
+unsigned nlzmx_crc32(const unsigned char* p, long long n, unsigned prev) {
+  return crc32(p, n, prev);
+}
+
+// Encode one block to frames-only payload. parser: 0 greedy, 1 optimal.
+// stats_out (optional): [reads, cmds]. Returns payload size or -1.
+long long nlzmx_encode_block(const unsigned char* src, long long n, int hist_bits, int parser,
+                             unsigned char* dst, long long cap, long long* stats_out) {
+  std::vector<u8> out;
+  out.reserve(size_t(n) / 2 + 1024);
+  EncodeStats st;
+  if (parser == 1) {
+    encode_frames_optimal(src, n, hist_bits, out, st);
+  } else {
+    encode_frames_greedy(src, n, hist_bits, out, st);
+  }
+  if (i64(out.size()) > cap) return -1;
+  std::memcpy(dst, out.data(), out.size());
+  if (stats_out) {
+    stats_out[0] = i64(st.reads);
+    stats_out[1] = i64(st.cmds);
+  }
+  return i64(out.size());
+}
+
+// Decode a frames-only payload. Returns decoded size or -1.
+long long nlzmx_decode_block(const unsigned char* src, long long n, int hist_bits,
+                             unsigned char* dst, long long cap) {
+  return decode_frames(src, n, hist_bits, dst, cap);
+}
+
+long long nlzmx_expand_ops(const int* op_len, const int* op_val, long long t_count,
+                           unsigned char* dst, long long cap) {
+  return expand_ops(op_len, op_val, t_count, dst, cap);
+}
+
+// Threaded block-parallel encode: writes per-block payloads at
+// dst + b*block_cap, returns sizes/stats per block. Returns 0 on success.
+int nlzmx_encode_blocks(const unsigned char* src, long long n, long long block_size,
+                        int hist_bits, int parser, int threads, unsigned char* dst,
+                        long long block_cap, long long* sizes, long long* reads,
+                        long long* cmds) {
+  long long nblocks = (n + block_size - 1) / block_size;
+  if (threads < 1) threads = 1;
+  std::vector<std::thread> pool;
+  std::atomic<long long> next{0};
+  std::atomic<int> err{0};
+  auto work = [&]() {
+    for (;;) {
+      long long b = next.fetch_add(1);
+      if (b >= nblocks) return;
+      long long off = b * block_size;
+      long long len = n - off < block_size ? n - off : block_size;
+      long long stats[2];
+      long long sz = nlzmx_encode_block(src + off, len, hist_bits, parser, dst + b * block_cap,
+                                        block_cap, stats);
+      if (sz < 0) {
+        err.store(1);
+        return;
+      }
+      sizes[b] = sz;
+      reads[b] = stats[0];
+      cmds[b] = stats[1];
+    }
+  };
+  for (int t = 0; t < threads; t++) pool.emplace_back(work);
+  for (auto& t : pool) t.join();
+  return err.load();
+}
+
+// Threaded block-parallel decode of packed payloads laid out at
+// src + b*stride with per-block sizes. Returns 0 on success.
+int nlzmx_decode_blocks(const unsigned char* src, long long stride, const long long* sizes,
+                        long long nblocks, int hist_bits, long long block_size, int threads,
+                        unsigned char* dst, long long total_cap) {
+  if (threads < 1) threads = 1;
+  std::vector<std::thread> pool;
+  std::atomic<long long> next{0};
+  std::atomic<int> err{0};
+  auto work = [&]() {
+    for (;;) {
+      long long b = next.fetch_add(1);
+      if (b >= nblocks) return;
+      long long off = b * block_size;
+      long long cap = total_cap - off < block_size ? total_cap - off : block_size;
+      if (cap < 0) cap = 0;
+      long long got = decode_frames(src + b * stride, sizes[b], hist_bits, dst + off, cap);
+      if (got < 0) err.store(1);
+    }
+  };
+  for (int t = 0; t < threads; t++) pool.emplace_back(work);
+  for (auto& t : pool) t.join();
+  return err.load();
+}
+
+}  // extern "C"

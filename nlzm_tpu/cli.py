@@ -1,0 +1,129 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (NLZM.cpp:2165-2171) and extends it with the
+block-parallel profile:
+
+    python -m nlzm_tpu.cli [flags] c <input> <output>   compress
+    python -m nlzm_tpu.cli d <input> <output>           decompress
+    python -m nlzm_tpu.cli t <input>                    decompress in memory
+    python -m nlzm_tpu.cli h <input>                    CRC32
+
+Flags:
+    -window:bits    window size in bits (15..28, default 22)
+    -parser:name    greedy | optimal (default optimal)
+    -blocks[:size]  use the NLZP block-parallel container (TPU decode path);
+                    optional uncompressed block size in bytes
+    -engine:name    decode engine: auto | serial | native | tpu
+"""
+
+import sys
+import time
+
+from .constants import DEFAULT_HIST_BITS
+from .utils.crc32 import crc32
+
+
+def _fail(msg: str) -> int:
+    print(f"Error: {msg}")
+    return 1
+
+def _usage() -> int:
+    print(__doc__)
+    return 1
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    print("nlzm-tpu 0.1 - TPU-native NLZM-class codec")
+
+    window_bits = DEFAULT_HIST_BITS
+    parser = "optimal"
+    block_size = 0  # 0 => single-stream NLZM format
+    engine = "auto"
+
+    while argv and argv[0].startswith("-"):
+        arg = argv.pop(0).lstrip("-").lower()
+        if arg.startswith("window:"):
+            window_bits = max(15, min(28, int(arg[7:])))
+            print(f"Window bits: {window_bits}")
+        elif arg.startswith("parser:"):
+            parser = arg[7:]
+        elif arg == "blocks":
+            from .parallel.blocks import DEFAULT_BLOCK_SIZE
+
+            block_size = DEFAULT_BLOCK_SIZE
+        elif arg.startswith("blocks:"):
+            block_size = int(arg[7:])
+        elif arg.startswith("engine:"):
+            engine = arg[7:]
+        else:
+            return _fail(f"unrecognized flag {arg}")
+
+    if not argv:
+        return _usage()
+    cmd = argv.pop(0).lower()
+
+    if cmd == "h" and len(argv) == 1:
+        with open(argv[0], "rb") as f:
+            print(f"{crc32(f.read()):X}")
+        return 0
+
+    if cmd == "c" and len(argv) == 2:
+        src, dst = argv
+        import os
+
+        if os.path.exists(dst):
+            return _fail(f"{dst} already exists")
+        data = open(src, "rb").read()
+        t0 = time.time()
+        if block_size:
+            from .parallel.blocks import encode_container
+
+            out = encode_container(data, block_size=block_size, parser=parser)
+        else:
+            from .codec import encode_bytes
+
+            out = encode_bytes(data, window_bits, parser=parser)
+        open(dst, "wb").write(out)
+        print(
+            f"{len(data)} -> {len(out)} bytes "
+            f"(input CRC32 {crc32(data):X}, {time.time() - t0:.2f} sec)"
+        )
+        return 0
+
+    if cmd in ("d", "t") and len(argv) in (1, 2):
+        src = argv[0]
+        dst = argv[1] if len(argv) == 2 else None
+        if cmd == "d" and dst is None:
+            return _usage()
+        import os
+
+        if dst and os.path.exists(dst):
+            return _fail(f"{dst} already exists")
+        data = open(src, "rb").read()
+        t0 = time.time()
+        out = _decode_any(data, engine)
+        if dst:
+            open(dst, "wb").write(out)
+        print(f"{len(data)} -> {len(out)} bytes (output CRC32 {crc32(out):X}, {time.time() - t0:.2f} sec)")
+        return 0
+
+    return _usage()
+
+
+def _decode_any(data: bytes, engine: str) -> bytes:
+    from .parallel.blocks import MAGIC, decode_container
+
+    if data[:4] == MAGIC:
+        eng = "tpu" if engine == "auto" else engine
+        return decode_container(data, engine=eng)
+    from . import native
+    from .codec import decode_bytes
+
+    if engine == "native" or (engine == "auto" and native.available()):
+        return decode_bytes(data, engine="native")
+    return decode_bytes(data)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,8 +37,27 @@ class FormatError(ValueError):
     pass
 
 
-def decode_bytes(data: bytes) -> bytes:
-    """Decode a complete NLZM stream held in memory."""
+def decode_bytes(data: bytes, engine: str = "python") -> bytes:
+    """Decode a complete NLZM stream held in memory.
+
+    engine: "python" (reference model) or "native" (C++ host runtime).
+    """
+    if engine == "native" and len(data) >= FILE_HEADER_BYTES:
+        from . import native
+        from .format.frame import SENTINEL_FRAME
+
+        hist_bits = int.from_bytes(data[0:2], "big")
+        if not (MIN_HIST_BITS_DECODE <= hist_bits <= MAX_HIST_BITS):
+            raise FormatError(f"hist_bits {hist_bits} out of range")
+        payload = data[FILE_HEADER_BYTES:]
+        cap = max(1 << 16, len(data) * 4)
+        while True:
+            try:
+                return native.decode_block(payload, hist_bits, cap)
+            except RuntimeError:
+                if cap > len(data) * 4096:
+                    raise
+                cap *= 8
     if len(data) < FILE_HEADER_BYTES:
         raise FormatError("truncated header")
     hist_bits = int.from_bytes(data[0:2], "big")
@@ -100,11 +119,17 @@ def decode_bytes(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_bytes(data: bytes, hist_bits: int = DEFAULT_HIST_BITS, parser: str = "optimal") -> bytes:
+def encode_bytes(
+    data: bytes,
+    hist_bits: int = DEFAULT_HIST_BITS,
+    parser: str = "optimal",
+    engine: str = "auto",
+) -> bytes:
     """Encode `data` into an NLZM stream (reference-decodable).
 
     parser: "greedy" (hash-chain matcher, fast) or "optimal"
     (forward-graph parse with the full matcher suite, best ratio).
+    engine: "auto" (native if built) | "native" | "python".
     """
     from .lz.encoder import SerialEncoder
 
@@ -112,4 +137,18 @@ def encode_bytes(data: bytes, hist_bits: int = DEFAULT_HIST_BITS, parser: str = 
         raise ValueError(f"unknown parser {parser!r}; expected 'greedy' or 'optimal'")
     hist_bits = max(MIN_HIST_BITS_DECODE, min(MAX_HIST_BITS, hist_bits))
     hist_bits = shrink_hist_bits(hist_bits, len(data))
+
+    use_native = engine == "native"
+    if engine == "auto":
+        from . import native
+
+        use_native = native.available()
+    if use_native:
+        from . import native
+        from .format.frame import SENTINEL_FRAME
+        from .constants import frame_bits_for
+
+        payload, _, _ = native.encode_block(data, hist_bits, parser)
+        header = hist_bits.to_bytes(2, "big") + frame_bits_for(hist_bits).to_bytes(2, "big")
+        return header + payload + SENTINEL_FRAME
     return SerialEncoder(hist_bits, parser=parser).encode(data)

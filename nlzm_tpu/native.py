@@ -1,0 +1,187 @@
+"""ctypes bindings for the native host runtime (native/libnlzmx.so).
+
+The native library is the framework's C++ engine: serial optimal/greedy
+encode, serial decode, threaded block-container codec, op-array LZ
+expansion (phase 2 of the TPU pipeline), and CRC32. It is built with
+`make -C native`; this module auto-builds it on first use if the toolchain
+is available.
+"""
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libnlzmx.so"
+
+PARSER_GREEDY = 0
+PARSER_OPTIMAL = 1
+
+_PARSER_IDS = {"greedy": PARSER_GREEDY, "optimal": PARSER_OPTIMAL}
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+@lru_cache(maxsize=1)
+def load() -> ctypes.CDLL:
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+            )
+        except (OSError, subprocess.CalledProcessError) as e:
+            raise NativeUnavailable(f"cannot build native library: {e}") from e
+    lib = ctypes.CDLL(str(_LIB_PATH))
+
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64 = ctypes.c_longlong
+    c_i64p = ctypes.POINTER(c_i64)
+    c_i32p = ctypes.POINTER(ctypes.c_int)
+
+    lib.nlzmx_crc32.restype = ctypes.c_uint
+    lib.nlzmx_crc32.argtypes = [c_u8p, c_i64, ctypes.c_uint]
+
+    lib.nlzmx_encode_block.restype = c_i64
+    lib.nlzmx_encode_block.argtypes = [c_u8p, c_i64, ctypes.c_int, ctypes.c_int, c_u8p, c_i64, c_i64p]
+
+    lib.nlzmx_decode_block.restype = c_i64
+    lib.nlzmx_decode_block.argtypes = [c_u8p, c_i64, ctypes.c_int, c_u8p, c_i64]
+
+    lib.nlzmx_expand_ops.restype = c_i64
+    lib.nlzmx_expand_ops.argtypes = [c_i32p, c_i32p, c_i64, c_u8p, c_i64]
+
+    lib.nlzmx_encode_blocks.restype = ctypes.c_int
+    lib.nlzmx_encode_blocks.argtypes = [
+        c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_u8p, c_i64, c_i64p, c_i64p, c_i64p,
+    ]
+
+    lib.nlzmx_decode_blocks.restype = ctypes.c_int
+    lib.nlzmx_decode_blocks.argtypes = [
+        c_u8p, c_i64, c_i64p, c_i64, ctypes.c_int, c_i64, ctypes.c_int, c_u8p, c_i64,
+    ]
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def crc32(data: bytes, prev: int = 0) -> int:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(buf) == 0:
+        return prev
+    return load().nlzmx_crc32(_u8p(buf), len(buf), prev)
+
+
+def encode_block(data: bytes, hist_bits: int, parser: str = "optimal"):
+    """Encode one block -> (payload_bytes, total_reads, num_cmds)."""
+    lib = load()
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = max(4096, len(data) * 2 + 65536)
+    dst = np.empty(cap, dtype=np.uint8)
+    stats = np.zeros(2, dtype=np.int64)
+    sz = lib.nlzmx_encode_block(
+        _u8p(src) if len(src) else _u8p(dst),
+        len(src),
+        hist_bits,
+        _PARSER_IDS[parser],
+        _u8p(dst),
+        cap,
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    if sz < 0:
+        raise RuntimeError("native encode failed (capacity)")
+    return dst[:sz].tobytes(), int(stats[0]), int(stats[1])
+
+
+def decode_block(payload: bytes, hist_bits: int, out_cap: int) -> bytes:
+    lib = load()
+    src = np.frombuffer(payload, dtype=np.uint8)
+    dst = np.empty(max(out_cap, 1), dtype=np.uint8)
+    got = lib.nlzmx_decode_block(_u8p(src), len(src), hist_bits, _u8p(dst), out_cap)
+    if got < 0:
+        raise RuntimeError("native decode failed")
+    return dst[:got].tobytes()
+
+
+def expand_ops(op_len: np.ndarray, op_val: np.ndarray, out_cap: int) -> bytes:
+    """Expand one block's op arrays (int32, aligned) into bytes."""
+    lib = load()
+    op_len = np.ascontiguousarray(op_len, dtype=np.int32)
+    op_val = np.ascontiguousarray(op_val, dtype=np.int32)
+    dst = np.empty(max(out_cap, 1), dtype=np.uint8)
+    got = lib.nlzmx_expand_ops(
+        op_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        op_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(op_len),
+        _u8p(dst),
+        out_cap,
+    )
+    if got < 0:
+        raise RuntimeError("native expand failed")
+    return dst[:got].tobytes()
+
+
+def encode_blocks(data: bytes, block_size: int, hist_bits: int, parser: str = "optimal", threads: int = 0):
+    """Threaded block encode -> (list of payloads, reads, cmds)."""
+    lib = load()
+    n = len(data)
+    nblocks = (n + block_size - 1) // block_size
+    if nblocks == 0:
+        return [], [], []
+    threads = threads or min(os.cpu_count() or 1, nblocks)
+    src = np.frombuffer(data, dtype=np.uint8)
+    block_cap = block_size * 2 + 65536
+    dst = np.empty(nblocks * block_cap, dtype=np.uint8)
+    sizes = np.zeros(nblocks, dtype=np.int64)
+    reads = np.zeros(nblocks, dtype=np.int64)
+    cmds = np.zeros(nblocks, dtype=np.int64)
+    p64 = ctypes.POINTER(ctypes.c_longlong)
+    rc = lib.nlzmx_encode_blocks(
+        _u8p(src), n, block_size, hist_bits, _PARSER_IDS[parser], threads,
+        _u8p(dst), block_cap,
+        sizes.ctypes.data_as(p64), reads.ctypes.data_as(p64), cmds.ctypes.data_as(p64),
+    )
+    if rc != 0:
+        raise RuntimeError("native block encode failed")
+    payloads = [dst[b * block_cap : b * block_cap + sizes[b]].tobytes() for b in range(nblocks)]
+    return payloads, reads.tolist(), cmds.tolist()
+
+
+def decode_blocks(payloads: list, hist_bits: int, block_size: int, total_len: int, threads: int = 0) -> bytes:
+    """Threaded block decode of per-block payloads."""
+    lib = load()
+    nblocks = len(payloads)
+    if nblocks == 0:
+        return b""
+    threads = threads or min(os.cpu_count() or 1, nblocks)
+    stride = max(len(p) for p in payloads) + 8
+    src = np.zeros(nblocks * stride, dtype=np.uint8)
+    sizes = np.zeros(nblocks, dtype=np.int64)
+    for b, p in enumerate(payloads):
+        src[b * stride : b * stride + len(p)] = np.frombuffer(p, dtype=np.uint8)
+        sizes[b] = len(p)
+    dst = np.empty(nblocks * block_size, dtype=np.uint8)
+    rc = lib.nlzmx_decode_blocks(
+        _u8p(src), stride,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        nblocks, hist_bits, block_size, threads, _u8p(dst), len(dst),
+    )
+    if rc != 0:
+        raise RuntimeError("native block decode failed")
+    return dst.tobytes()[:total_len]

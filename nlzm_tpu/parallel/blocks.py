@@ -63,19 +63,32 @@ def encode_container(
     data: bytes,
     block_size: int = DEFAULT_BLOCK_SIZE,
     parser: str = "greedy",
+    engine: str = "auto",
 ) -> bytes:
-    """Host-serial block encode (the TPU/native paths replace this engine)."""
+    """Block encode. engine: auto (native if built) | native | serial."""
     hist_bits = hist_bits_for_block(block_size)
     num_blocks = (len(data) + block_size - 1) // block_size if data else 0
 
-    payloads = []
-    meta = []
-    for b in range(num_blocks):
-        chunk = data[b * block_size : (b + 1) * block_size]
-        enc = SerialEncoder(hist_bits, parser=parser)
-        payload = enc.encode_frames(chunk)
-        payloads.append(payload)
-        meta.append((len(payload), enc.total_reads, enc.total_cmds))
+    use_native = engine == "native"
+    if engine == "auto":
+        from .. import native
+
+        use_native = native.available()
+
+    if use_native and num_blocks:
+        from .. import native
+
+        payloads, reads, cmds = native.encode_blocks(data, block_size, hist_bits, parser)
+        meta = list(zip(map(len, payloads), reads, cmds))
+    else:
+        payloads = []
+        meta = []
+        for b in range(num_blocks):
+            chunk = data[b * block_size : (b + 1) * block_size]
+            enc = SerialEncoder(hist_bits, parser=parser)
+            payload = enc.encode_frames(chunk)
+            payloads.append(payload)
+            meta.append((len(payload), enc.total_reads, enc.total_cmds))
 
     out = io.BytesIO()
     out.write(
@@ -145,11 +158,22 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
     """Decode an NLZP container.
 
     engine="tpu": batched FSM decode + LZ expansion (jit; runs on whatever
-    jax backend is active). engine="serial": per-block host reference path.
+    jax backend is active). engine="native": threaded C++ host runtime.
+    engine="serial": per-block Python reference path.
     """
     info = parse_container(data)
     if not info.comp_sizes:
         return b""
+
+    if engine == "native":
+        from .. import native
+
+        payloads = []
+        off = info.payload_off
+        for cs in info.comp_sizes:
+            payloads.append(data[off : off + cs])
+            off += cs
+        return native.decode_blocks(payloads, info.hist_bits, info.block_size, info.total_len)
 
     if engine == "serial":
         from ..codec import decode_bytes

@@ -1,0 +1,69 @@
+"""Device-mesh sharding for block-parallel codec work.
+
+The codec's scaling axis is the block (SURVEY.md §2.5/§5.8): blocks are
+independent streams, so the mesh is 1-D ("blocks") and every state tensor
+shards on its leading block dimension. Decode needs no collectives until the
+ordered gather at the end; sizes are all-gathered and offsets computed by
+exclusive scan, which is the variable-length analog the encoder uses too.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BLOCK_AXIS = "blocks"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+def _pad_blocks(arr: np.ndarray, multiple: int):
+    b = arr.shape[0]
+    pad = (-b) % multiple
+    if pad:
+        arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+    return arr, b
+
+
+def decode_container_sharded(data: bytes, mesh: Mesh) -> bytes:
+    """Full block-parallel decode under a device mesh.
+
+    Streams shard over the block axis; the FSM decode and LZ expansion run
+    SPMD with zero cross-device traffic; per-block byte counts are
+    all-gathered (the ordered-gather collective) and the assembled output is
+    returned in stream order.
+    """
+    from .blocks import pack_streams, parse_container
+    from ..ops.decode_ops import fsm_decode, lz_expand
+
+    info = parse_container(data)
+    if not info.comp_sizes:
+        return b""
+
+    n_dev = mesh.devices.size
+    streams, n_blocks = _pad_blocks(pack_streams(data, info), n_dev)
+
+    num_steps = ((max(info.total_reads) + 1 + 511) // 512) * 512
+    max_cmds = ((max(info.num_cmds) + 1 + 255) // 256) * 256
+    block_size = info.block_size
+
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS))
+
+    @partial(jax.jit, out_shardings=(sharding, NamedSharding(mesh, P())))
+    def pipeline(streams_dev):
+        op_len, op_val, n_cmds = fsm_decode(streams_dev, num_steps, max_cmds)
+        out, pos = lz_expand(op_len, op_val, n_cmds, block_size, max_cmds)
+        # ordered gather: every device learns every block's byte count
+        sizes = jax.lax.with_sharding_constraint(pos, NamedSharding(mesh, P()))
+        return out, sizes
+
+    streams_dev = jax.device_put(jnp.asarray(streams), sharding)
+    out, sizes = pipeline(streams_dev)
+
+    out_np = np.asarray(out)[:n_blocks].reshape(-1)
+    return out_np.tobytes()[: info.total_len]
