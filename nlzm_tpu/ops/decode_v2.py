@@ -1,0 +1,428 @@
+"""Batched TPU entropy decoder, v2: one LZ command per scan step, zero scatters.
+
+Differences from the v1 FSM kernel (decode_ops.py):
+
+- Step granularity is a whole command: up to 6 predicated CDF reads and 2
+  raw-bit fields advance together, so scan overhead and emission amortize
+  over ~3x more coded items.
+- Model state lives in per-family tensors updated with masked dense math
+  and one-hot FMAs - there is no scatter anywhere in the step (XLA TPU
+  scatters serialize per index and dominated v1's runtime).
+- Commands are emitted as scan outputs (ys), aligned one-per-step, so
+  phase 2 (LZ expansion on TPU, or the native host runtime) consumes them
+  directly with no compaction.
+- The two distance extra-bit fields are read as one combined bit fetch
+  (identical bit layout; valid while add_bits <= 24, i.e. window < 2^27).
+
+Semantics parity: NLZM.cpp:1967-2012 (command loop), 666-731 (frame reads).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CDF_SCALE_TOTAL
+from .cdf_ops import mixin_tensor
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+class V2State(NamedTuple):
+    cmd_c: jax.Array  # [B, 17]
+    lith_c: jax.Array  # [B, 17]
+    litl_c: jax.Array  # [B, 16, 17]
+    lend_c: jax.Array  # [B, 17]
+    lehi_c: jax.Array  # [B, 17]
+    lelo_c: jax.Array  # [B, 16, 17]
+    dhi_c: jax.Array  # [B, 4, 17]
+    dlo_c: jax.Array  # [B, 32, 17]
+    rans: jax.Array  # [B, 4] u32
+    lane: jax.Array  # [B]
+    rans_pos: jax.Array  # [B]
+    bit_pos: jax.Array  # [B]
+    word: jax.Array  # [B] u32
+    word_bits: jax.Array  # [B]
+    num_ops: jax.Array  # [B]
+    frame_ptr: jax.Array  # [B]
+    done: jax.Array  # [B] bool
+    rep_tab: jax.Array  # [B, 4]
+
+
+def _uniform_cells(n: int) -> np.ndarray:
+    step = CDF_SCALE_TOTAL // n
+    return np.asarray(
+        [i * step for i in range(n)] + [CDF_SCALE_TOTAL] * (17 - n), dtype=np.int32
+    )
+
+
+def _init_state(B: int) -> V2State:
+    z = jnp.zeros((B,), _I32)
+
+    def fam(n, *shape):
+        cells = jnp.asarray(_uniform_cells(n))
+        return jnp.broadcast_to(cells, (B, *shape, 17)).astype(_I32)
+
+    return V2State(
+        cmd_c=fam(4),
+        lith_c=fam(16),
+        litl_c=fam(16, 16),
+        lend_c=fam(8),
+        lehi_c=fam(16),
+        lelo_c=fam(16, 16),
+        dhi_c=fam(8, 4),
+        dlo_c=fam(8, 32),
+        rans=jnp.zeros((B, 4), _U32),
+        lane=z,
+        rans_pos=z,
+        bit_pos=z,
+        word=jnp.zeros((B,), _U32),
+        word_bits=z,
+        num_ops=z,
+        frame_ptr=z,
+        done=jnp.zeros((B,), bool),
+        rep_tab=jnp.broadcast_to(jnp.arange(1, 5, dtype=_I32), (B, 4)),
+    )
+
+
+def _byte(data, pos):
+    idx = jnp.clip(pos, 0, data.shape[1] - 1)
+    return jnp.take_along_axis(data, idx[:, None], axis=1)[:, 0].astype(_I32)
+
+
+def _byte2(data, pos):
+    """Two consecutive bytes as (hi << 8) | lo."""
+    return (_byte(data, pos) << 8) | _byte(data, pos + 1)
+
+
+# mixin rows for classes 4/8/16, padded to 17 wide (pads pinned at scale)
+def _mixin17() -> np.ndarray:
+    m = mixin_tensor()  # [3, 16, 17]
+    return m
+
+
+class _Rans(NamedTuple):
+    rans: jax.Array
+    lane: jax.Array
+    rans_pos: jax.Array
+    reads: jax.Array  # cumulative read count this step
+
+
+def _cdf_read(row, pred, r: _Rans, data, mix_fn):
+    """Predicated symbol read against per-block fence rows [B, 17].
+
+    mix_fn(y) -> [B, 17] adaptation target rows for the decoded symbols.
+    Returns (y [B], updated_row [B,17], new rans bundle). Blocks with
+    pred=False keep their state and get y=0 semantics-free.
+    """
+    lane_oh = jax.nn.one_hot(r.lane, 4, dtype=_I32)
+    x = jnp.sum(lane_oh * r.rans.astype(_I32), axis=1).astype(_U32)
+
+    f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
+    y = jnp.sum(f[:, None] >= row[:, 1:], axis=1).astype(_I32)
+    y_oh = jax.nn.one_hot(y, 17, dtype=_I32)
+    y1_oh = jax.nn.one_hot(y + 1, 17, dtype=_I32)
+    start = jnp.sum(y_oh * row, axis=1)
+    freq = jnp.sum(y1_oh * row, axis=1) - start
+
+    x2 = freq.astype(_U32) * (x >> 14) + (f - start).astype(_U32)
+    renorm = x2 < jnp.asarray(1 << 16, _U32)
+    rb = _byte2(data, r.rans_pos).astype(_U32)
+    x3 = jnp.where(renorm, (x2 << 16) | rb, x2)
+
+    take = pred
+    new_rans = jnp.where(
+        (take[:, None]) & (lane_oh > 0), x3[:, None], r.rans.astype(_U32)
+    ).astype(_U32)
+    rans_pos = r.rans_pos + jnp.where(take & renorm, 2, 0)
+    lane = jnp.where(take, (r.lane + 1) & 3, r.lane)
+
+    # adaptation toward the mixin row for this (class, symbol)
+    mix = mix_fn(jnp.clip(y, 0, 15))  # [B, 17]
+    upd = row + ((mix - row) >> 7)
+
+    return y, upd, _Rans(new_rans, lane, rans_pos, r.reads + take.astype(_I32))
+
+
+class _Bits(NamedTuple):
+    word: jax.Array
+    word_bits: jax.Array
+    bit_pos: jax.Array
+    reads: jax.Array
+
+
+def _bits_read(nb, pred, b: _Bits, data):
+    """Predicated MSB-first read of nb bits (nb in [0,24]; nb=0 reads none
+    but still counts when pred - callers pass nb>=1 whenever pred)."""
+    word, word_bits, bit_pos = b.word, b.word_bits, b.bit_pos
+    for _ in range(3):
+        can = pred & (word_bits < 24)
+        byte = _byte(data, bit_pos).astype(_U32)
+        shift = jnp.clip(24 - word_bits, 0, 31).astype(_U32)
+        word = jnp.where(can, word | (byte << shift), word)
+        bit_pos = bit_pos + can.astype(_I32)
+        word_bits = word_bits + jnp.where(can, 8, 0)
+    nb = jnp.clip(nb, 0, 24)
+    v = jnp.where(
+        nb > 0, (word >> jnp.clip(32 - nb, 0, 31).astype(_U32)).astype(_I32), 0
+    )
+    v = jnp.where(pred, v, 0)
+    word = jnp.where(pred, word << nb.astype(_U32), word)
+    word_bits = word_bits - jnp.where(pred, nb, 0)
+    return v, _Bits(word, word_bits, bit_pos, b.reads)
+
+
+def _family_update(fam, idx, upd_row, orig_row, pred, k):
+    """fam[b, idx[b]] <- upd_row[b] where pred, via one-hot FMA."""
+    oh = jax.nn.one_hot(idx, k, dtype=_I32) * pred.astype(_I32)[:, None]
+    return fam + oh[:, :, None] * (upd_row - orig_row)[:, None, :]
+
+
+def _row_of(fam, idx, k):
+    oh = jax.nn.one_hot(idx, k, dtype=fam.dtype)
+    return jnp.einsum("bk,bkw->bw", oh, fam)
+
+
+def _frame_init(st: V2State, data):
+    need = (~st.done) & (st.num_ops == 0)
+
+    def do_init(_):
+        def be32(pos):
+            return (
+                (_byte(data, pos) << 24)
+                | (_byte(data, pos + 1) << 16)
+                | (_byte(data, pos + 2) << 8)
+                | _byte(data, pos + 3)
+            )
+
+        hdr_ops = be32(st.frame_ptr)
+        nb_bytes = be32(st.frame_ptr + 4)
+        nr_bytes = be32(st.frame_ptr + 8)
+        becomes_done = need & (hdr_ops == 0)
+        init = need & (hdr_ops != 0)
+
+        rans_base = st.frame_ptr + nb_bytes
+
+        def le32(pos):
+            return (
+                _byte(data, pos).astype(_U32)
+                | (_byte(data, pos + 1).astype(_U32) << 8)
+                | (_byte(data, pos + 2).astype(_U32) << 16)
+                | (_byte(data, pos + 3).astype(_U32) << 24)
+            )
+
+        new_states = jnp.stack([le32(rans_base + 4 * k) for k in range(4)], axis=1)
+        return (
+            st.done | becomes_done,
+            jnp.where(init, hdr_ops, st.num_ops),
+            jnp.where(init, st.frame_ptr + 12, st.bit_pos),
+            jnp.where(init, jnp.zeros((), _U32), st.word),
+            jnp.where(init, 0, st.word_bits),
+            jnp.where(init[:, None], new_states, st.rans),
+            jnp.where(init, 0, st.lane),
+            jnp.where(init, rans_base + 16, st.rans_pos),
+            jnp.where(init, st.frame_ptr + nb_bytes + nr_bytes, st.frame_ptr),
+        )
+
+    def skip(_):
+        return (
+            st.done,
+            st.num_ops,
+            st.bit_pos,
+            st.word,
+            st.word_bits,
+            st.rans,
+            st.lane,
+            st.rans_pos,
+            st.frame_ptr,
+        )
+
+    return jax.lax.cond(jnp.any(need), do_init, skip, None)
+
+
+def _step(data, mixin, st: V2State, _):
+    (done, num_ops, bit_pos, word, word_bits, rans, lane, rans_pos, frame_ptr) = _frame_init(
+        st, data
+    )
+    active = ~done
+
+    r = _Rans(rans, lane, rans_pos, jnp.zeros_like(lane))
+    b = _Bits(word, word_bits, bit_pos, None)
+
+    mix4, mix8, mix16 = mixin[0], mixin[1], mixin[2]
+    f4 = lambda y: mix4[jnp.clip(y, 0, 3)]
+    f8 = lambda y: mix8[jnp.clip(y, 0, 7)]
+    f16 = lambda y: mix16[y]
+
+    # R0: command
+    y0, upd, r = _cdf_read(st.cmd_c, active, r, data, f4)
+    cmd_c = jnp.where(active[:, None], upd, st.cmd_c)
+    is_lit = active & (y0 == 0)
+    is_dict = active & (y0 == 1)
+    is_rep = active & (y0 >= 2)
+    is_match = is_dict | is_rep
+
+    # B0: rep slot index
+    rep_idx, b = _bits_read(jnp.full_like(y0, 2), is_rep, b, data)
+    bits_reads = is_rep.astype(_I32)
+
+    # R1: literal hi nibble | direct length (mixed 16/8-symbol classes)
+    row1 = jnp.where(is_lit[:, None], st.lith_c, st.lend_c)
+    fmix1 = lambda y: jnp.where(is_lit[:, None], mix16[y], mix8[jnp.clip(y, 0, 7)])
+    y1, upd1, r = _cdf_read(row1, active, r, data, fmix1)
+    lith_c = jnp.where(is_lit[:, None], upd1, st.lith_c)
+    lend_c = jnp.where(is_match[:, None], upd1, st.lend_c)
+    esc = is_match & (y1 == 7)
+    lc = jnp.minimum(y1, 3)
+
+    # R2: literal lo nibble | length-extension hi
+    pred2 = is_lit | esc
+    litl_row = _row_of(st.litl_c, jnp.where(is_lit, y1, 0), 16)
+    row2 = jnp.where(is_lit[:, None], litl_row, st.lehi_c)
+    y2, upd2, r = _cdf_read(row2, pred2, r, data, f16)
+    litl_c = _family_update(st.litl_c, y1, upd2, litl_row, is_lit, 16)
+    lehi_c = jnp.where(esc[:, None], upd2, st.lehi_c)
+
+    # R3: length-extension lo
+    lelo_row = _row_of(st.lelo_c, jnp.where(esc, y2, 0), 16)
+    y3, upd3, r = _cdf_read(lelo_row, esc, r, data, f16)
+    lelo_c = _family_update(st.lelo_c, y2, upd3, lelo_row, esc, 16)
+
+    lv = jnp.where(esc, 7 + (y2 << 4) + y3, y1)
+
+    # R4: distance slot hi (context = length class)
+    dhi_row = _row_of(st.dhi_c, jnp.where(is_dict, lc, 0), 4)
+    y4, upd4, r = _cdf_read(dhi_row, is_dict, r, data, f8)
+    dhi_c = _family_update(st.dhi_c, lc, upd4, dhi_row, is_dict, 4)
+
+    # R5: distance slot lo (context = length class * 8 + hi slot)
+    dlo_idx = jnp.where(is_dict, (lc << 3) + y4, 0)
+    dlo_row = _row_of(st.dlo_c, dlo_idx, 32)
+    y5, upd5, r = _cdf_read(dlo_row, is_dict, r, data, f8)
+    dlo_c = _family_update(st.dlo_c, dlo_idx, upd5, dlo_row, is_dict, 32)
+
+    # distance reconstruction; both raw-bit fields fetched in one read
+    dv_slot = (y4 << 3) + y5
+    small = dv_slot < 4
+    ab = jnp.clip((dv_slot >> 1) - 1, 0, 30)
+    need_bits = is_dict & ~small
+    extra, b = _bits_read(jnp.where(need_bits, ab, 0), need_bits, b, data)
+    bits_reads = bits_reads + jnp.where(need_bits, 1 + (ab > 4).astype(_I32), 0)
+    dv = jnp.where(small, dv_slot, ((2 + (dv_slot & 1)) << ab) + extra)
+
+    # emit
+    delta_dict = dv + 1
+    rep_oh = jax.nn.one_hot(jnp.clip(rep_idx, 0, 3), 4, dtype=_I32)
+    delta_rep = jnp.sum(rep_oh * st.rep_tab, axis=1)
+    delta = jnp.where(is_rep, delta_rep, delta_dict)
+    mmin = (
+        2
+        + (delta > 0xFF).astype(_I32)
+        + (delta > 0xFFF).astype(_I32)
+        + (delta > 0xFFFFF).astype(_I32)
+    )
+    out_len = jnp.where(is_match, lv + mmin, 0)
+    out_val = jnp.where(is_lit, (y1 << 4) + y2, delta)
+    out_len = jnp.where(active, out_len, -1)  # -1 marks "no command" (done)
+
+    # rep MTF insert for fresh dict distances
+    t = st.rep_tab
+    present = jnp.any(t == delta_dict[:, None], axis=1)
+    shifted = jnp.concatenate([delta_dict[:, None], t[:, :3]], axis=1)
+    rep_tab = jnp.where((is_dict & ~present)[:, None], shifted, t)
+
+    num_ops = num_ops - r.reads - bits_reads
+
+    new_st = V2State(
+        cmd_c=cmd_c,
+        lith_c=lith_c,
+        litl_c=litl_c,
+        lend_c=lend_c,
+        lehi_c=lehi_c,
+        lelo_c=lelo_c,
+        dhi_c=dhi_c,
+        dlo_c=dlo_c,
+        rans=r.rans,
+        lane=r.lane,
+        rans_pos=r.rans_pos,
+        bit_pos=b.bit_pos,
+        word=b.word,
+        word_bits=b.word_bits,
+        num_ops=num_ops,
+        frame_ptr=frame_ptr,
+        done=done,
+        rep_tab=rep_tab,
+    )
+    return new_st, (out_len, out_val)
+
+
+@partial(jax.jit, static_argnames=("num_steps",))
+def fsm_decode_v2(data: jax.Array, num_steps: int):
+    """Entropy-decode B block streams, one command per step.
+
+    data: [B, S] uint8 frames (zero-padded; zero header terminates).
+    num_steps: >= max commands per block (+1 for the terminator step).
+
+    Returns (op_len [T, B], op_val [T, B]): op_len < 0 marks steps past a
+    block's end, 0 marks a literal (op_val = byte), else a match of length
+    op_len at distance op_val.
+    """
+    B = data.shape[0]
+    mixin = jnp.asarray(_mixin17())
+    st = _init_state(B)
+    st, ys = jax.lax.scan(
+        lambda s, x: _step(data, mixin, s, x), st, None, length=num_steps
+    )
+    return ys
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def lz_expand_v2(op_len: jax.Array, op_val: jax.Array, block_size: int):
+    """All-TPU phase 2 from [T, B] step-aligned commands (scatter-based)."""
+    T, B = op_len.shape
+    barange = jnp.arange(B)[:, None]
+    j = jnp.arange(264)[None, :]
+    out0 = jnp.zeros((B, block_size), jnp.uint8)
+    pos0 = jnp.zeros((B,), _I32)
+
+    def step(carry, t):
+        out, pos = carry
+        L = op_len[t]
+        V = op_val[t]
+        act = L >= 0
+        is_lit = L == 0
+        length = jnp.where(is_lit, 1, L)
+        delta = jnp.maximum(jnp.where(is_lit, 1, V), 1)
+
+        src = pos[:, None] - delta[:, None] + j % delta[:, None]
+        gathered = jnp.take_along_axis(out, jnp.clip(src, 0, block_size - 1), axis=1)
+        vals = jnp.where(is_lit[:, None], V[:, None].astype(jnp.uint8), gathered)
+
+        write = act[:, None] & (j < length[:, None])
+        dst = jnp.where(write, pos[:, None] + j, block_size)
+        out = out.at[barange, dst].set(vals, mode="drop")
+        pos = pos + jnp.where(act, length, 0)
+        return (out, pos), None
+
+    (out, pos), _ = jax.lax.scan(step, (out0, pos0), jnp.arange(T))
+    return out, pos
+
+
+def expand_host(op_len: np.ndarray, op_val: np.ndarray, block_size: int, total_len: int) -> bytes:
+    """Phase 2 on the host via the native runtime: [T, B] op arrays -> bytes."""
+    from .. import native
+
+    T, B = op_len.shape
+    out = bytearray()
+    lens = op_len.T  # [B, T] views
+    vals = op_val.T
+    for b in range(B):
+        lb = lens[b]
+        n = int(np.argmax(lb < 0)) if (lb < 0).any() else T
+        out += native.expand_ops(
+            np.ascontiguousarray(lb[:n]), np.ascontiguousarray(vals[b][:n]), block_size
+        )
+    return bytes(out[:total_len])

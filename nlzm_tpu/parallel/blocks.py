@@ -190,17 +190,19 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
 
     import jax.numpy as jnp
 
-    from ..ops.decode_ops import fsm_decode, lz_expand
+    from .. import native
+    from ..ops.decode_v2 import expand_host, fsm_decode_v2, lz_expand_v2
 
     streams = pack_streams(data, info)
     # +1 step: every block spends one scan step on its terminator header
-    num_steps = _round_up(max(info.total_reads) + 1, 512)
-    max_cmds = _round_up(max(info.num_cmds) + 1, 256)
+    num_steps = _round_up(max(info.num_cmds) + 1, 256)
 
-    op_len, op_val, n_cmds = fsm_decode(jnp.asarray(streams), num_steps, max_cmds)
-    out, pos = lz_expand(op_len, op_val, n_cmds, info.block_size, max_cmds)
-
+    op_len, op_val = fsm_decode_v2(jnp.asarray(streams), num_steps)
+    if native.available():
+        return expand_host(
+            np.asarray(op_len), np.asarray(op_val), info.block_size, info.total_len
+        )
+    out, pos = lz_expand_v2(op_len, op_val, info.block_size)
     out_np = np.asarray(out).reshape(-1)
-    # blocks are block_size-wide; the last block may be short
     full = out_np[: len(info.comp_sizes) * info.block_size]
     return full.tobytes()[: info.total_len]
