@@ -104,11 +104,33 @@ def _mixin17() -> np.ndarray:
     return m
 
 
+def _win_load(data32, pos, words: int):
+    """Contiguous byte window starting at the u32 word containing `pos`:
+    returns (win [B, words] u32-le, base byte offset [B])."""
+    base = pos >> 2
+    cols = [
+        jnp.take_along_axis(data32, jnp.clip(base + k, 0, data32.shape[1] - 1)[:, None], axis=1)[:, 0]
+        for k in range(words)
+    ]
+    return jnp.stack(cols, axis=1), base << 2
+
+
+def _win_byte(win, base, off):
+    """Extract byte at absolute offset `off` from a window (dense math)."""
+    j = off - base
+    word_sel = jax.nn.one_hot(jnp.clip(j >> 2, 0, win.shape[1] - 1), win.shape[1], dtype=_I32)
+    w = jnp.sum(word_sel * win.astype(_I32), axis=1).astype(_U32)
+    sh = ((j & 3) << 3).astype(_U32)
+    return ((w >> sh) & jnp.asarray(0xFF, _U32)).astype(_I32)
+
+
 class _Rans(NamedTuple):
     rans: jax.Array
     lane: jax.Array
     rans_pos: jax.Array
     reads: jax.Array  # cumulative read count this step
+    win: jax.Array  # [B, 4] u32 window covering this step's renorm bytes
+    win_base: jax.Array  # [B] byte offset of win[0]
 
 
 def _cdf_read(row, pred, r: _Rans, data, mix_fn):
@@ -130,8 +152,9 @@ def _cdf_read(row, pred, r: _Rans, data, mix_fn):
 
     x2 = freq.astype(_U32) * (x >> 14) + (f - start).astype(_U32)
     renorm = x2 < jnp.asarray(1 << 16, _U32)
-    rb = _byte2(data, r.rans_pos).astype(_U32)
-    x3 = jnp.where(renorm, (x2 << 16) | rb, x2)
+    b0 = _win_byte(r.win, r.win_base, r.rans_pos).astype(_U32)
+    b1 = _win_byte(r.win, r.win_base, r.rans_pos + 1).astype(_U32)
+    x3 = jnp.where(renorm, (x2 << 16) | (b0 << 8) | b1, x2)
 
     take = pred
     new_rans = jnp.where(
@@ -144,23 +167,26 @@ def _cdf_read(row, pred, r: _Rans, data, mix_fn):
     mix = mix_fn(jnp.clip(y, 0, 15))  # [B, 17]
     upd = row + ((mix - row) >> 7)
 
-    return y, upd, _Rans(new_rans, lane, rans_pos, r.reads + take.astype(_I32))
+    return y, upd, _Rans(
+        new_rans, lane, rans_pos, r.reads + take.astype(_I32), r.win, r.win_base
+    )
 
 
 class _Bits(NamedTuple):
     word: jax.Array
     word_bits: jax.Array
     bit_pos: jax.Array
-    reads: jax.Array
+    win: jax.Array  # [B, 3] u32 window covering this step's bit bytes
+    win_base: jax.Array
 
 
-def _bits_read(nb, pred, b: _Bits, data):
+def _bits_read(nb, pred, b: _Bits):
     """Predicated MSB-first read of nb bits (nb in [0,24]; nb=0 reads none
     but still counts when pred - callers pass nb>=1 whenever pred)."""
     word, word_bits, bit_pos = b.word, b.word_bits, b.bit_pos
     for _ in range(3):
         can = pred & (word_bits < 24)
-        byte = _byte(data, bit_pos).astype(_U32)
+        byte = _win_byte(b.win, b.win_base, bit_pos).astype(_U32)
         shift = jnp.clip(24 - word_bits, 0, 31).astype(_U32)
         word = jnp.where(can, word | (byte << shift), word)
         bit_pos = bit_pos + can.astype(_I32)
@@ -172,7 +198,7 @@ def _bits_read(nb, pred, b: _Bits, data):
     v = jnp.where(pred, v, 0)
     word = jnp.where(pred, word << nb.astype(_U32), word)
     word_bits = word_bits - jnp.where(pred, nb, 0)
-    return v, _Bits(word, word_bits, bit_pos, b.reads)
+    return v, _Bits(word, word_bits, bit_pos, b.win, b.win_base)
 
 
 def _family_update(fam, idx, upd_row, orig_row, pred, k):
@@ -243,14 +269,16 @@ def _frame_init(st: V2State, data):
     return jax.lax.cond(jnp.any(need), do_init, skip, None)
 
 
-def _step(data, mixin, st: V2State, _):
+def _step(data, data32, mixin, st: V2State, _):
     (done, num_ops, bit_pos, word, word_bits, rans, lane, rans_pos, frame_ptr) = _frame_init(
         st, data
     )
     active = ~done
 
-    r = _Rans(rans, lane, rans_pos, jnp.zeros_like(lane))
-    b = _Bits(word, word_bits, bit_pos, None)
+    rwin, rbase = _win_load(data32, rans_pos, 4)  # covers <= 12 renorm bytes
+    bwin, bbase = _win_load(data32, bit_pos, 3)  # covers <= 6 bit bytes
+    r = _Rans(rans, lane, rans_pos, jnp.zeros_like(lane), rwin, rbase)
+    b = _Bits(word, word_bits, bit_pos, bwin, bbase)
 
     mix4, mix8, mix16 = mixin[0], mixin[1], mixin[2]
     f4 = lambda y: mix4[jnp.clip(y, 0, 3)]
@@ -266,7 +294,7 @@ def _step(data, mixin, st: V2State, _):
     is_match = is_dict | is_rep
 
     # B0: rep slot index
-    rep_idx, b = _bits_read(jnp.full_like(y0, 2), is_rep, b, data)
+    rep_idx, b = _bits_read(jnp.full_like(y0, 2), is_rep, b)
     bits_reads = is_rep.astype(_I32)
 
     # R1: literal hi nibble | direct length (mixed 16/8-symbol classes)
@@ -309,7 +337,7 @@ def _step(data, mixin, st: V2State, _):
     small = dv_slot < 4
     ab = jnp.clip((dv_slot >> 1) - 1, 0, 30)
     need_bits = is_dict & ~small
-    extra, b = _bits_read(jnp.where(need_bits, ab, 0), need_bits, b, data)
+    extra, b = _bits_read(jnp.where(need_bits, ab, 0), need_bits, b)
     bits_reads = bits_reads + jnp.where(need_bits, 1 + (ab > 4).astype(_I32), 0)
     dv = jnp.where(small, dv_slot, ((2 + (dv_slot & 1)) << ab) + extra)
 
@@ -370,11 +398,16 @@ def fsm_decode_v2(data: jax.Array, num_steps: int):
     block's end, 0 marks a literal (op_val = byte), else a match of length
     op_len at distance op_val.
     """
-    B = data.shape[0]
+    B, S = data.shape
+    pad = (-S) % 4
+    if pad:
+        data = jnp.pad(data, ((0, 0), (0, pad)))
+    d32 = data.reshape(B, -1, 4).astype(_U32)
+    data32 = d32[:, :, 0] | (d32[:, :, 1] << 8) | (d32[:, :, 2] << 16) | (d32[:, :, 3] << 24)
     mixin = jnp.asarray(_mixin17())
     st = _init_state(B)
     st, ys = jax.lax.scan(
-        lambda s, x: _step(data, mixin, s, x), st, None, length=num_steps
+        lambda s, x: _step(data, data32, mixin, s, x), st, None, length=num_steps
     )
     return ys
 

@@ -143,9 +143,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_streams(data: bytes, info: ContainerInfo) -> np.ndarray:
-    """[B, S] uint8: per-block payloads, zero padded (+8 terminator slack)."""
+    """[B, S] uint8: per-block payloads, zero padded (terminator + window slack)."""
     n = len(info.comp_sizes)
-    s = _round_up(max(info.comp_sizes, default=1) + 8, 256)
+    s = _round_up(max(info.comp_sizes, default=1) + 24, 256)
     arr = np.zeros((n, s), dtype=np.uint8)
     off = info.payload_off
     for b, cs in enumerate(info.comp_sizes):
@@ -190,19 +190,15 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
 
     import jax.numpy as jnp
 
-    from .. import native
-    from ..ops.decode_v2 import expand_host, fsm_decode_v2, lz_expand_v2
+    from ..ops.decode_v2 import fsm_decode_v2
+    from ..ops.expand_ops import lz_expand_parallel
 
     streams = pack_streams(data, info)
     # +1 step: every block spends one scan step on its terminator header
     num_steps = _round_up(max(info.num_cmds) + 1, 256)
 
     op_len, op_val = fsm_decode_v2(jnp.asarray(streams), num_steps)
-    if native.available():
-        return expand_host(
-            np.asarray(op_len), np.asarray(op_val), info.block_size, info.total_len
-        )
-    out, pos = lz_expand_v2(op_len, op_val, info.block_size)
+    out, produced = lz_expand_parallel(op_len, op_val, info.block_size)
     out_np = np.asarray(out).reshape(-1)
     full = out_np[: len(info.comp_sizes) * info.block_size]
     return full.tobytes()[: info.total_len]
