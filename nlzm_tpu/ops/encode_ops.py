@@ -1,0 +1,501 @@
+"""Batched TPU encoder: block-parallel greedy LZ + model emission + rANS.
+
+Pipeline (all [B]-batched; B independent blocks encode in lockstep):
+
+  E1 find_matches   sort-based nearest-previous-occurrence candidates
+                    (argsort groups equal 4-byte hashes; adjacency gives the
+                    most recent prior position) + word-compare length
+                    extension to 64 bytes, byte-exact.
+  E2 greedy_cover   scan over command slots: at the write head take the
+                    verified match if long enough, else a literal; emits the
+                    same step-aligned (len, val) command format the decoder
+                    produces.
+  E3 emit_model     scan over commands mirroring the decoder's model: CDF
+                    spans (start, freq) + raw-bit fields per command, with
+                    one-hot family adaptation (no scatters).
+  E4 rans_backward  reverse scan: 4-lane interleaved rANS over the span
+                    list, renorm pairs compacted on device; bit stream
+                    packed forward and compacted on device.
+
+The host then wraps per-block sections into standard NLZM frames (one frame
+per block; block_size <= frame chunk capacity), so archives decode with the
+serial/native/TPU decoders and the reference binary's wire format.
+
+The encoder emits literal/match commands only (never rep): a valid stream
+choice - rep commands are an encoder optimization (NLZM.cpp:1598-1628), not
+a decoder requirement. Greedy matching costs ~10-20% ratio vs the optimal
+parser; the optimal TPU parse rides on the same E3/E4 emission engine later.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CDF_SCALE_TOTAL, HASH4_MULT
+from .cdf_ops import mixin_tensor
+from .decode_v2 import _init_state, _uniform_cells  # family layout reuse
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+MAX_MLEN = 64  # greedy TPU profile caps matches at the nice length
+
+
+# ---------------------------------------------------------------- E1
+@partial(jax.jit, static_argnames=("reach",))
+def find_matches(data: jax.Array, n_valid: jax.Array, reach: int):
+    """Nearest previous occurrence of each position's 4-byte prefix.
+
+    data: [B, N] uint8 (zero padded past n_valid).
+    Returns (delta [B, N] i32 (0 = none), mlen [B, N] i32 byte-exact <= 64).
+    """
+    B, N = data.shape
+    d = data.astype(_U32)
+    w = d[:, :] | 0
+    # little-endian 4-byte words at every position (pad tail with zeros)
+    pad = jnp.zeros((B, 4), _U32)
+    dp = jnp.concatenate([d, pad], axis=1)
+    word = dp[:, :N] | (dp[:, 1 : N + 1] << 8) | (dp[:, 2 : N + 2] << 16) | (dp[:, 3 : N + 3] << 24)
+
+    h = ((word * HASH4_MULT) & jnp.asarray(0xFFFFFFFF, _U32)) >> 16  # 16-bit hash
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+    # sort by (hash, position): equal hashes adjacent, positions ascending
+    key = h.astype(_I32) * N + pos
+    order = jnp.argsort(key, axis=1)
+    h_s = jnp.take_along_axis(h, order, axis=1)
+    same = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), h_s[:, 1:] == h_s[:, :-1]], axis=1
+    )
+    prev_pos = jnp.concatenate([jnp.zeros((B, 1), _I32), order[:, :-1]], axis=1)
+    cand_sorted = jnp.where(same, prev_pos, -1)
+    # scatter candidates back to position order
+    barange = jnp.arange(B)[:, None]
+    cand = jnp.zeros((B, N), _I32).at[barange, order].set(cand_sorted)
+
+    delta = pos - cand
+    ok = (cand >= 0) & (delta > 0) & (delta <= reach)
+    delta = jnp.where(ok, delta, 0)
+
+    # word-compare extension, byte-exact up to MAX_MLEN
+    wordp = jnp.concatenate([word, jnp.zeros((B, MAX_MLEN + 4), _U32)], axis=1)
+    full = jnp.zeros((B, N), _I32)  # count of fully-equal leading words
+    alive = ok
+    mism = jnp.zeros((B, N), _U32)  # first mismatching xor
+    csafe = jnp.maximum(cand, 0)
+    for k in range(MAX_MLEN // 4):
+        off = 4 * k
+        a = wordp[:, off : off + N]
+        b = jnp.take_along_axis(wordp, jnp.minimum(csafe + off, N + MAX_MLEN), axis=1)
+        x = a ^ b
+        eq = alive & (x == 0)
+        full = full + eq.astype(_I32)
+        mism = jnp.where(alive & ~eq & (mism == 0) & (x != 0), x, mism)
+        alive = eq
+
+    # trailing bytes within the first mismatching word
+    tz = jnp.where(
+        mism == 0,
+        32,
+        jnp.minimum(
+            jnp.minimum((mism & 0xFF) != 0, 1) * 0
+            + jnp.where((mism & 0xFF) != 0, 0, jnp.where((mism & 0xFFFF) != 0, 1, jnp.where((mism & 0xFFFFFF) != 0, 2, 3))),
+            3,
+        ),
+    )
+    mlen = full * 4 + jnp.where(mism == 0, 0, tz)
+    mlen = jnp.minimum(mlen, MAX_MLEN)
+    # stay inside the block's valid bytes
+    limit = jnp.maximum(n_valid[:, None] - pos, 0)
+    mlen = jnp.minimum(mlen, limit)
+    return delta, mlen
+
+
+# ---------------------------------------------------------------- E2
+@partial(jax.jit, static_argnames=("num_steps",))
+def greedy_cover(data: jax.Array, delta: jax.Array, mlen: jax.Array, n_valid: jax.Array, num_steps: int):
+    """Greedy parse: one command per step per block.
+
+    Returns (op_len [T, B], op_val [T, B]) in the decoder's ys format
+    (-1 past end, 0 literal, else match length with op_val = distance).
+    """
+    B, N = data.shape
+    data_i = data.astype(_I32)
+
+    def step(pos, _):
+        at = jnp.clip(pos, 0, N - 1)[:, None]
+        d = jnp.take_along_axis(delta, at, axis=1)[:, 0]
+        l = jnp.take_along_axis(mlen, at, axis=1)[:, 0]
+        byte = jnp.take_along_axis(data_i, at, axis=1)[:, 0]
+        mmin = (
+            2
+            + (d > 0xFF).astype(_I32)
+            + (d > 0xFFF).astype(_I32)
+            + (d > 0xFFFFF).astype(_I32)
+        )
+        active = pos < n_valid
+        use = active & (d > 0) & (l >= mmin)
+        length = jnp.where(use, l, 0)
+        val = jnp.where(use, d, byte)
+        out_len = jnp.where(active, length, -1)
+        pos = pos + jnp.where(active, jnp.maximum(length, 1), 0)
+        return pos, (out_len, val)
+
+    pos, ys = jax.lax.scan(step, jnp.zeros((B,), _I32), None, length=num_steps)
+    return ys
+
+
+# ---------------------------------------------------------------- E3
+class _EmitState(NamedTuple):
+    cmd_c: jax.Array
+    lith_c: jax.Array
+    litl_c: jax.Array
+    lend_c: jax.Array
+    lehi_c: jax.Array
+    lelo_c: jax.Array
+    dhi_c: jax.Array
+    dlo_c: jax.Array
+    nops: jax.Array  # [B] coded-item count (header num_ops)
+
+
+def _fam_init(B, n, *shape):
+    cells = jnp.asarray(_uniform_cells(n))
+    return jnp.broadcast_to(cells, (B, *shape, 17)).astype(_I32)
+
+
+def _span_of(row, y):
+    y_oh = jax.nn.one_hot(y, 17, dtype=_I32)
+    y1_oh = jax.nn.one_hot(y + 1, 17, dtype=_I32)
+    start = jnp.sum(y_oh * row, axis=1)
+    freq = jnp.sum(y1_oh * row, axis=1) - start
+    return (freq.astype(_U32) << 16) | start.astype(_U32)
+
+
+def _adapt(row, y, mix):
+    m = mix[jnp.clip(y, 0, 15)]
+    return row + ((m - row) >> 7)
+
+
+def _fam_row(fam, idx, k):
+    oh = jax.nn.one_hot(idx, k, dtype=fam.dtype)
+    return jnp.einsum("bk,bkw->bw", oh, fam)
+
+
+def _fam_set(fam, idx, new_row, old_row, pred, k):
+    oh = jax.nn.one_hot(idx, k, dtype=_I32) * pred.astype(_I32)[:, None]
+    return fam + oh[:, :, None] * (new_row - old_row)[:, None, :]
+
+
+@partial(jax.jit, static_argnames=())
+def emit_model(op_len: jax.Array, op_val: jax.Array):
+    """Model pass over step-aligned commands.
+
+    Returns per (step, block): spans [T, B, 6] u32 ((freq<<16)|start, 0 =
+    unused slot), bits_val [T, B], bits_nb [T, B], and num_ops [B].
+    """
+    T, B = op_len.shape
+    mixin = jnp.asarray(mixin_tensor())
+    mix4, mix8, mix16 = mixin[0], mixin[1], mixin[2]
+
+    st = _EmitState(
+        cmd_c=_fam_init(B, 4),
+        lith_c=_fam_init(B, 16),
+        litl_c=_fam_init(B, 16, 16),
+        lend_c=_fam_init(B, 8),
+        lehi_c=_fam_init(B, 16),
+        lelo_c=_fam_init(B, 16, 16),
+        dhi_c=_fam_init(B, 8, 4),
+        dlo_c=_fam_init(B, 8, 32),
+        nops=jnp.zeros((B,), _I32),
+    )
+
+    def step(s: _EmitState, xs):
+        L, V = xs
+        active = L >= 0
+        is_lit = active & (L == 0)
+        is_match = active & (L > 0)
+
+        delta = jnp.maximum(V, 1)
+        mmin = (
+            2
+            + (delta > 0xFF).astype(_I32)
+            + (delta > 0xFFF).astype(_I32)
+            + (delta > 0xFFFFF).astype(_I32)
+        )
+        lv = jnp.maximum(L - mmin, 0)
+        lc = jnp.minimum(lv, 3)
+        esc = is_match & (lv >= 7)
+        lv_sym = jnp.minimum(lv, 7)
+        ext = jnp.maximum(lv - 7, 0)
+        ehi, elo = ext >> 4, ext & 15
+
+        hi_nib = jnp.where(is_lit, V >> 4, 0)
+        lo_nib = V & 15
+
+        # distance slot + extra bits
+        dv = delta - 1
+        nbits = jnp.clip(
+            32 - jnp.clip(jax.lax.clz(jnp.maximum(dv, 1).astype(_U32)).astype(_I32), 0, 31),
+            1,
+            31,
+        )  # bit length of dv
+        big = dv >= 4
+        ab = jnp.where(big, nbits - 2, 0)
+        top = dv >> jnp.maximum(ab, 0)
+        slot = jnp.where(big, ((nbits - 1) << 1) + (top & 1), dv)
+        extra = dv & ((1 << jnp.maximum(ab, 0)) - 1)
+        dhi, dlo = slot >> 3, slot & 7
+
+        # slot 0: command (0 literal / 1 dict)
+        cmd_y = jnp.where(is_lit, 0, 1)
+        r = s.cmd_c
+        sp0 = jnp.where(active, _span_of(r, cmd_y), 0)
+        s_cmd = jnp.where(active[:, None], _adapt(r, cmd_y, mix4), r)
+
+        # slot 1: lit_hi | len_direct
+        r_lh = s.lith_c
+        r_ld = s.lend_c
+        row1 = jnp.where(is_lit[:, None], r_lh, r_ld)
+        y1 = jnp.where(is_lit, hi_nib, lv_sym)
+        sp1 = jnp.where(active, _span_of(row1, y1), 0)
+        mix1 = jnp.where(is_lit[:, None], mix16[jnp.clip(y1, 0, 15)], mix8[jnp.clip(y1, 0, 7)])
+        upd1 = row1 + ((mix1 - row1) >> 7)
+        s_lith = jnp.where(is_lit[:, None], upd1, r_lh)
+        s_lend = jnp.where(is_match[:, None], upd1, r_ld)
+
+        # slot 2: lit_lo | len_ext_hi
+        pred2 = is_lit | esc
+        litl_row = _fam_row(s.litl_c, jnp.where(is_lit, hi_nib, 0), 16)
+        row2 = jnp.where(is_lit[:, None], litl_row, s.lehi_c)
+        y2 = jnp.where(is_lit, lo_nib, ehi)
+        sp2 = jnp.where(pred2, _span_of(row2, y2), 0)
+        upd2 = row2 + ((mix16[jnp.clip(y2, 0, 15)] - row2) >> 7)
+        s_litl = _fam_set(s.litl_c, hi_nib, upd2, litl_row, is_lit, 16)
+        s_lehi = jnp.where(esc[:, None], upd2, s.lehi_c)
+
+        # slot 3: len_ext_lo
+        lelo_row = _fam_row(s.lelo_c, jnp.where(esc, ehi, 0), 16)
+        sp3 = jnp.where(esc, _span_of(lelo_row, elo), 0)
+        upd3 = lelo_row + ((mix16[jnp.clip(elo, 0, 15)] - lelo_row) >> 7)
+        s_lelo = _fam_set(s.lelo_c, ehi, upd3, lelo_row, esc, 16)
+
+        # slot 4: dist hi
+        dhi_row = _fam_row(s.dhi_c, jnp.where(is_match, lc, 0), 4)
+        sp4 = jnp.where(is_match, _span_of(dhi_row, dhi), 0)
+        upd4 = dhi_row + ((mix8[jnp.clip(dhi, 0, 7)] - dhi_row) >> 7)
+        s_dhi = _fam_set(s.dhi_c, lc, upd4, dhi_row, is_match, 4)
+
+        # slot 5: dist lo
+        dlo_idx = jnp.where(is_match, (lc << 3) + dhi, 0)
+        dlo_row = _fam_row(s.dlo_c, dlo_idx, 32)
+        sp5 = jnp.where(is_match, _span_of(dlo_row, dlo), 0)
+        upd5 = dlo_row + ((mix8[jnp.clip(dlo, 0, 7)] - dlo_row) >> 7)
+        s_dlo = _fam_set(s.dlo_c, dlo_idx, upd5, dlo_row, is_match, 32)
+
+        # raw-bit fields: the wire layout splits extra distance bits into a
+        # high field (ab-4 bits, only when ab > 4) and a low field
+        # (min(ab, 4) bits); staging-word capacity also requires the split
+        has_bits = is_match & (ab > 0)
+        nb_a = jnp.where(has_bits & (ab > 4), ab - 4, 0)
+        va = jnp.where(nb_a > 0, extra >> 4, 0)
+        nb_b = jnp.where(has_bits, jnp.minimum(ab, 4), 0)
+        vb = jnp.where(has_bits, extra & ((1 << nb_b) - 1), 0)
+
+        n_spans = (
+            active.astype(_I32)
+            + active.astype(_I32)  # slot1 always coded when active
+            + pred2.astype(_I32)
+            + esc.astype(_I32)
+            + is_match.astype(_I32) * 2
+        )
+        n_bit_ops = jnp.where(has_bits, 1 + (ab > 4).astype(_I32), 0)
+        nops = s.nops + n_spans + n_bit_ops
+
+        spans = jnp.stack([sp0, sp1, sp2, sp3, sp4, sp5], axis=1)  # [B, 6]
+        new = _EmitState(
+            cmd_c=s_cmd, lith_c=s_lith, litl_c=s_litl, lend_c=s_lend,
+            lehi_c=s_lehi, lelo_c=s_lelo, dhi_c=s_dhi, dlo_c=s_dlo, nops=nops,
+        )
+        return new, (spans, va, nb_a, vb, nb_b)
+
+    st, ys = jax.lax.scan(step, st, (op_len, op_val))
+    spans, va, nb_a, vb, nb_b = ys
+    return spans, (va, nb_a, vb, nb_b), st.nops
+
+
+# ---------------------------------------------------------------- E4
+@partial(jax.jit, static_argnames=("cap",))
+def rans_backward(spans: jax.Array, cap: int):
+    """4-lane interleaved rANS over the span stream, backward.
+
+    spans: [T, B, 6] u32 ((freq<<16)|start; 0 = unused).
+    Returns (stream [B, cap] u8 - 16 seed bytes then renorm pairs in decode
+    order, rans_bytes [B] total length).
+    """
+    T, B, _ = spans.shape
+    total = jnp.sum((spans != 0).astype(_I32), axis=(0, 2))  # [B] span count
+
+    def step(carry, sp_t):
+        states, cnt, pairs_acc = carry  # states [B,4] u32, cnt [B]
+        outs = []
+        flags = []
+        for slot in range(5, -1, -1):
+            sf = sp_t[:, slot]
+            valid = sf != 0
+            freq = (sf >> 16).astype(_U32)
+            start = (sf & jnp.asarray(0xFFFF, _U32)).astype(_U32)
+            cnt = cnt - valid.astype(_I32)
+            lane = jnp.clip(cnt, 0, 1 << 30) & 3
+            lane_oh = jax.nn.one_hot(lane, 4, dtype=_I32)
+            x = jnp.sum(lane_oh * states.astype(_I32), axis=1).astype(_U32)
+
+            fq = jnp.maximum(freq, 1)
+            over = valid & (x >= (fq << 18))
+            pair = (x & jnp.asarray(0xFFFF, _U32)).astype(_U32)
+            x1 = jnp.where(over, x >> 16, x)
+            x2 = ((x1 // fq) << 14) + (x1 % fq) + start
+            x2 = jnp.where(valid, x2, x)
+            states = jnp.where(
+                valid[:, None] & (lane_oh > 0), x2[:, None], states.astype(_U32)
+            ).astype(_U32)
+            outs.append(jnp.where(over, pair, 0))
+            flags.append(over)
+        return (states, cnt, pairs_acc), (jnp.stack(outs, 1), jnp.stack(flags, 1))
+
+    states0 = jnp.full((B, 4), 1 << 16, _U32)
+    (states, cnt, _), (pairs, flags) = jax.lax.scan(
+        step, (states0, total, None), spans, reverse=True
+    )
+    # pairs/flags: [T, B, 6] in scan-forward order; emission order was
+    # (t desc, slot desc) and the forward stream is its reverse: (t asc,
+    # slot asc) after seeds. flags order in stacked arrays: index s=0..5
+    # corresponds to slot 5..0 - reverse the slot axis for forward order.
+    pairs = pairs[:, :, ::-1]
+    flags = flags[:, :, ::-1]
+
+    fl = flags.transpose(1, 0, 2).reshape(B, T * 6)  # [B, K] forward order
+    pr = pairs.transpose(1, 0, 2).reshape(B, T * 6)
+    offs = jnp.cumsum(fl.astype(_I32), axis=1) - fl.astype(_I32)
+    byte_off = 16 + 2 * offs
+    barange = jnp.arange(B)[:, None]
+
+    stream = jnp.zeros((B, cap), jnp.uint8)
+    # 16 seed bytes: 4 states little-endian, lane 0 first
+    for lane in range(4):
+        for k in range(4):
+            stream = stream.at[:, 4 * lane + k].set(
+                ((states[:, lane] >> (8 * k)) & jnp.asarray(0xFF, _U32)).astype(jnp.uint8)
+            )
+    hi = (pr >> 8).astype(jnp.uint8)
+    lo = (pr & jnp.asarray(0xFF, _U32)).astype(jnp.uint8)
+    dst_hi = jnp.where(fl, byte_off, cap)
+    dst_lo = jnp.where(fl, byte_off + 1, cap)
+    stream = stream.at[barange, dst_hi].set(hi, mode="drop")
+    stream = stream.at[barange, dst_lo].set(lo, mode="drop")
+    rans_bytes = 16 + 2 * jnp.sum(fl.astype(_I32), axis=1)
+    return stream, rans_bytes
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def bits_forward(fields, cap: int):
+    """Pack raw-bit fields MSB-first into the frame's bit section.
+
+    fields: (va, nb_a, vb, nb_b), each [T, B] - two fields per command.
+    Returns (bytes_out [B, cap] u8 including the 4 drain bytes, n_bytes [B]).
+    """
+    va, nb_a, vb, nb_b = fields
+    T, B = nb_a.shape
+    barange = jnp.arange(B)
+
+    def put(word, wbits, nbytes, out, v, nb):
+        nb = jnp.clip(nb, 0, 24)
+        v = v.astype(_U32) & ((jnp.asarray(1, _U32) << nb.astype(_U32)) - 1)
+        word = word | jnp.where(
+            nb > 0, v << jnp.clip(32 - wbits - nb, 0, 31).astype(_U32), 0
+        )
+        wbits = wbits + nb
+        for _ in range(3):  # wbits <= 7+24 = 31 -> at most 3 whole bytes
+            can = wbits >= 8
+            byte = (word >> 24).astype(jnp.uint8)
+            dst = jnp.where(can, nbytes, cap)
+            out = out.at[barange, dst].set(byte, mode="drop")
+            word = jnp.where(can, word << 8, word)
+            wbits = jnp.where(can, wbits - 8, wbits)
+            nbytes = nbytes + can.astype(_I32)
+        return word, wbits, nbytes, out
+
+    def step(carry, xs):
+        word, wbits, nbytes, out = carry
+        a, na, b, nb = xs
+        word, wbits, nbytes, out = put(word, wbits, nbytes, out, a, na)
+        word, wbits, nbytes, out = put(word, wbits, nbytes, out, b, nb)
+        return (word, wbits, nbytes, out), None
+
+    out0 = jnp.zeros((B, cap), jnp.uint8)
+    (word, wbits, nbytes, out), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((B,), _U32), jnp.zeros((B,), _I32), jnp.zeros((B,), _I32), out0),
+        (va, nb_a, vb, nb_b),
+    )
+    # 4 drain bytes
+    for k in range(4):
+        byte = (word >> 24).astype(jnp.uint8)
+        out = out.at[barange, jnp.minimum(nbytes, cap - 1)].set(byte)
+        word = word << 8
+        nbytes = nbytes + 1
+    return out, nbytes
+
+
+# ---------------------------------------------------------------- driver
+def encode_blocks_tpu(data: bytes, block_size: int, hist_bits: int):
+    """Encode blocks on the TPU; returns (payloads, reads, cmds) like
+    native.encode_blocks. Each block is one NLZM frame."""
+    from ..constants import chunk_size_for, frame_bits_for
+
+    assert block_size <= chunk_size_for(frame_bits_for(hist_bits)), (
+        "TPU profile requires one frame per block"
+    )
+    n = len(data)
+    nblocks = (n + block_size - 1) // block_size
+    if nblocks == 0:
+        return [], [], []
+
+    N = block_size
+    arr = np.zeros((nblocks, N), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    for b in range(nblocks):
+        seg = flat[b * N : (b + 1) * N]
+        arr[b, : len(seg)] = seg
+    n_valid = np.minimum(np.full(nblocks, N, np.int64), n - np.arange(nblocks) * N).astype(np.int32)
+
+    dj = jnp.asarray(arr)
+    nv = jnp.asarray(n_valid)
+    delta, mlen = find_matches(dj, nv, (1 << hist_bits) - 1)
+    num_steps = ((N + 255) // 256) * 256  # worst case: all literals
+    op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
+    spans, fields, nops = emit_model(op_len, op_val)
+
+    rans_cap = ((3 * N + 64 + 255) // 256) * 256
+    stream, rans_bytes = rans_backward(spans, rans_cap)
+    bcap = ((N + 64 + 255) // 256) * 256
+    bits_bytes, bits_n = bits_forward(fields, bcap)
+
+    stream_h = np.asarray(stream)
+    rb = np.asarray(rans_bytes)
+    bits_h = np.asarray(bits_bytes)
+    bn = np.asarray(bits_n)
+    nops_h = np.asarray(nops)
+    ncmds = np.asarray(jnp.sum((op_len >= 0).astype(_I32), axis=0))
+
+    payloads = []
+    for b in range(nblocks):
+        nb_bytes = 12 + int(bn[b])
+        hdr = (
+            int(nops_h[b]).to_bytes(4, "big")
+            + nb_bytes.to_bytes(4, "big")
+            + int(rb[b]).to_bytes(4, "big")
+        )
+        payloads.append(hdr + bits_h[b, : int(bn[b])].tobytes() + stream_h[b, : int(rb[b])].tobytes())
+    return payloads, nops_h.tolist(), ncmds.tolist()

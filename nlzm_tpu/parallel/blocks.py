@@ -65,7 +65,7 @@ def encode_container(
     parser: str = "greedy",
     engine: str = "auto",
 ) -> bytes:
-    """Block encode. engine: auto (native if built) | native | serial."""
+    """Block encode. engine: auto (native if built) | native | serial | tpu."""
     hist_bits = hist_bits_for_block(block_size)
     num_blocks = (len(data) + block_size - 1) // block_size if data else 0
 
@@ -75,7 +75,12 @@ def encode_container(
 
         use_native = native.available()
 
-    if use_native and num_blocks:
+    if engine == "tpu" and num_blocks:
+        from ..ops.encode_ops import encode_blocks_tpu
+
+        payloads, reads, cmds = encode_blocks_tpu(data, block_size, hist_bits)
+        meta = list(zip(map(len, payloads), reads, cmds))
+    elif use_native and num_blocks:
         from .. import native
 
         payloads, reads, cmds = native.encode_blocks(data, block_size, hist_bits, parser)
