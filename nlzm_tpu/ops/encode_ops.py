@@ -449,9 +449,21 @@ def bits_forward(fields, cap: int):
 
 
 # ---------------------------------------------------------------- driver
-def encode_blocks_tpu(data: bytes, block_size: int, hist_bits: int):
+def encode_pipeline(dj, nv, reach: int, num_steps: int, rans_cap: int, bits_cap: int):
+    """Full device-side encode: blocks in, frame sections out (jittable)."""
+    delta, mlen = find_matches(dj, nv, reach)
+    op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
+    spans, fields, nops = emit_model(op_len, op_val)
+    stream, rans_bytes = rans_backward(spans, rans_cap)
+    bits_bytes, bits_n = bits_forward(fields, bits_cap)
+    ncmds = jnp.sum((op_len >= 0).astype(_I32), axis=0)
+    return stream, rans_bytes, bits_bytes, bits_n, nops, ncmds
+
+
+def encode_blocks_tpu(data: bytes, block_size: int, hist_bits: int, mesh=None):
     """Encode blocks on the TPU; returns (payloads, reads, cmds) like
-    native.encode_blocks. Each block is one NLZM frame."""
+    native.encode_blocks. Each block is one NLZM frame. With a mesh, blocks
+    shard data-parallel over its device axis."""
     from ..constants import chunk_size_for, frame_bits_for
 
     assert block_size <= chunk_size_for(frame_bits_for(hist_bits)), (
@@ -463,31 +475,49 @@ def encode_blocks_tpu(data: bytes, block_size: int, hist_bits: int):
         return [], [], []
 
     N = block_size
-    arr = np.zeros((nblocks, N), np.uint8)
+    n_dev = 1 if mesh is None else mesh.devices.size
+    pad_blocks = (-nblocks) % n_dev
+    arr = np.zeros((nblocks + pad_blocks, N), np.uint8)
     flat = np.frombuffer(data, np.uint8)
     for b in range(nblocks):
         seg = flat[b * N : (b + 1) * N]
         arr[b, : len(seg)] = seg
-    n_valid = np.minimum(np.full(nblocks, N, np.int64), n - np.arange(nblocks) * N).astype(np.int32)
+    n_valid = np.zeros(nblocks + pad_blocks, np.int32)
+    n_valid[:nblocks] = np.minimum(
+        np.full(nblocks, N, np.int64), n - np.arange(nblocks) * N
+    ).astype(np.int32)
 
-    dj = jnp.asarray(arr)
-    nv = jnp.asarray(n_valid)
-    delta, mlen = find_matches(dj, nv, (1 << hist_bits) - 1)
     num_steps = ((N + 255) // 256) * 256  # worst case: all literals
-    op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
-    spans, fields, nops = emit_model(op_len, op_val)
-
     rans_cap = ((3 * N + 64 + 255) // 256) * 256
-    stream, rans_bytes = rans_backward(spans, rans_cap)
-    bcap = ((N + 64 + 255) // 256) * 256
-    bits_bytes, bits_n = bits_forward(fields, bcap)
+    bits_cap = ((N + 64 + 255) // 256) * 256
+    reach = (1 << hist_bits) - 1
+
+    fn = partial(
+        encode_pipeline,
+        reach=reach,
+        num_steps=num_steps,
+        rans_cap=rans_cap,
+        bits_cap=bits_cap,
+    )
+    if mesh is None:
+        fn = jax.jit(fn)
+        dj, nv = jnp.asarray(arr), jnp.asarray(n_valid)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        fn = jax.jit(fn, in_shardings=(shard, shard))
+        dj = jax.device_put(jnp.asarray(arr), shard)
+        nv = jax.device_put(jnp.asarray(n_valid), shard)
+
+    stream, rans_bytes, bits_bytes, bits_n, nops, ncmds_d = fn(dj, nv)
 
     stream_h = np.asarray(stream)
     rb = np.asarray(rans_bytes)
     bits_h = np.asarray(bits_bytes)
     bn = np.asarray(bits_n)
     nops_h = np.asarray(nops)
-    ncmds = np.asarray(jnp.sum((op_len >= 0).astype(_I32), axis=0))
+    ncmds = np.asarray(ncmds_d)
 
     payloads = []
     for b in range(nblocks):
@@ -498,4 +528,4 @@ def encode_blocks_tpu(data: bytes, block_size: int, hist_bits: int):
             + int(rb[b]).to_bytes(4, "big")
         )
         payloads.append(hdr + bits_h[b, : int(bn[b])].tobytes() + stream_h[b, : int(rb[b])].tobytes())
-    return payloads, nops_h.tolist(), ncmds.tolist()
+    return payloads, nops_h[:nblocks].tolist(), ncmds[:nblocks].tolist()
