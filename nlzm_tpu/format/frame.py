@@ -11,7 +11,7 @@ num_bits_bytes spans the header plus the bit section. A frame whose num_ops
 is 0 is the end-of-stream sentinel (only its first 4 bytes exist).
 
 This module is the host/serial implementation; the batched TPU decoder
-consumes the same sections via nlzm_tpu.ops.decode_ops.
+consumes the same sections via nlzm_tpu.ops.decode_v2.
 """
 
 from ..constants import CDF_SCALE_MASK, FRAME_HEADER_BYTES, RANS_MID

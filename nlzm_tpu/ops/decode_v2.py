@@ -412,38 +412,6 @@ def fsm_decode_v2(data: jax.Array, num_steps: int):
     return ys
 
 
-@partial(jax.jit, static_argnames=("block_size",))
-def lz_expand_v2(op_len: jax.Array, op_val: jax.Array, block_size: int):
-    """All-TPU phase 2 from [T, B] step-aligned commands (scatter-based)."""
-    T, B = op_len.shape
-    barange = jnp.arange(B)[:, None]
-    j = jnp.arange(264)[None, :]
-    out0 = jnp.zeros((B, block_size), jnp.uint8)
-    pos0 = jnp.zeros((B,), _I32)
-
-    def step(carry, t):
-        out, pos = carry
-        L = op_len[t]
-        V = op_val[t]
-        act = L >= 0
-        is_lit = L == 0
-        length = jnp.where(is_lit, 1, L)
-        delta = jnp.maximum(jnp.where(is_lit, 1, V), 1)
-
-        src = pos[:, None] - delta[:, None] + j % delta[:, None]
-        gathered = jnp.take_along_axis(out, jnp.clip(src, 0, block_size - 1), axis=1)
-        vals = jnp.where(is_lit[:, None], V[:, None].astype(jnp.uint8), gathered)
-
-        write = act[:, None] & (j < length[:, None])
-        dst = jnp.where(write, pos[:, None] + j, block_size)
-        out = out.at[barange, dst].set(vals, mode="drop")
-        pos = pos + jnp.where(act, length, 0)
-        return (out, pos), None
-
-    (out, pos), _ = jax.lax.scan(step, (out0, pos0), jnp.arange(T))
-    return out, pos
-
-
 def expand_host(op_len: np.ndarray, op_val: np.ndarray, block_size: int, total_len: int) -> bytes:
     """Phase 2 on the host via the native runtime: [T, B] op arrays -> bytes."""
     from .. import native

@@ -4,7 +4,7 @@ The single-stream NLZM format decodes strictly serially (adaptive model +
 rANS state + LZ history all chain per symbol), so the TPU/multi-chip scaling
 unit is the *block*: the input is split into fixed-size blocks, each encoded
 as an independent NLZM frame stream with a fresh model and window. Blocks
-decode in lockstep on the TPU (nlzm_tpu.ops.decode_ops) and shard
+decode in lockstep on the TPU (nlzm_tpu.ops.decode_v2) and shard
 data-parallel across a device mesh (nlzm_tpu.parallel.mesh).
 
 Container layout (all integers big-endian):

@@ -39,7 +39,8 @@ def decode_container_sharded(data: bytes, mesh: Mesh) -> bytes:
     returned in stream order.
     """
     from .blocks import pack_streams, parse_container
-    from ..ops.decode_ops import fsm_decode, lz_expand
+    from ..ops.decode_v2 import fsm_decode_v2
+    from ..ops.expand_ops import lz_expand_parallel
 
     info = parse_container(data)
     if not info.comp_sizes:
@@ -48,18 +49,17 @@ def decode_container_sharded(data: bytes, mesh: Mesh) -> bytes:
     n_dev = mesh.devices.size
     streams, n_blocks = _pad_blocks(pack_streams(data, info), n_dev)
 
-    num_steps = ((max(info.total_reads) + 1 + 511) // 512) * 512
-    max_cmds = ((max(info.num_cmds) + 1 + 255) // 256) * 256
+    num_steps = ((max(info.num_cmds) + 1 + 255) // 256) * 256
     block_size = info.block_size
 
     sharding = NamedSharding(mesh, P(BLOCK_AXIS))
 
     @partial(jax.jit, out_shardings=(sharding, NamedSharding(mesh, P())))
     def pipeline(streams_dev):
-        op_len, op_val, n_cmds = fsm_decode(streams_dev, num_steps, max_cmds)
-        out, pos = lz_expand(op_len, op_val, n_cmds, block_size, max_cmds)
+        op_len, op_val = fsm_decode_v2(streams_dev, num_steps)
+        out, produced = lz_expand_parallel(op_len, op_val, block_size)
         # ordered gather: every device learns every block's byte count
-        sizes = jax.lax.with_sharding_constraint(pos, NamedSharding(mesh, P()))
+        sizes = jax.lax.with_sharding_constraint(produced, NamedSharding(mesh, P()))
         return out, sizes
 
     streams_dev = jax.device_put(jnp.asarray(streams), sharding)
