@@ -1,0 +1,26 @@
+"""PPM research codec round trips + compression sanity."""
+
+import pytest
+
+from nlzm_tpu.research import ppm
+
+
+@pytest.mark.parametrize("name", ["tiny", "repetitive", "zeros", "one", "empty"])
+def test_round_trip_small(corpus_samples, name):
+    data = corpus_samples[name]
+    assert ppm.decompress(ppm.compress(data)) == data
+
+
+def test_round_trip_text(corpus_text):
+    data = corpus_text(8000)
+    blob = ppm.compress(data)
+    assert ppm.decompress(blob) == data
+    # context mixing compresses text substantially even during model warmup
+    assert len(blob) < len(data) * 0.55
+
+
+def test_round_trip_random(corpus_samples):
+    data = corpus_samples["random"][:3000]
+    blob = ppm.compress(data)
+    assert ppm.decompress(blob) == data
+    assert len(blob) < len(data) * 1.2  # bounded expansion on noise
