@@ -13,11 +13,12 @@ Container layout (all integers big-endian):
     4   u8     version (1)
     5   u8     hist_bits     (per-block window)
     6   u8     frame_bits
-    7   u8     reserved
+    7   u8     flags         (bit 0: u32 CRC32 of the plain data follows)
     8   u32    block_size    (uncompressed bytes per block; last may be short)
     12  u64    total uncompressed length
     20  u32    num_blocks
-    24  per block: u32 comp_size | u32 total_reads | u32 num_cmds
+    [u32 crc32 when flagged]
+    per block: u32 comp_size | u32 total_reads | u32 num_cmds
     ... concatenated block payloads (frames only - no per-block file header,
         no sentinel; zero padding after each payload terminates it)
 
@@ -38,6 +39,7 @@ MAGIC = b"NLZP"
 VERSION = 1
 _HDR = struct.Struct(">4sBBBBIQI")
 _BLK = struct.Struct(">III")
+FLAG_CRC32 = 0x01  # u32be CRC of the uncompressed data follows the header
 
 DEFAULT_BLOCK_SIZE = 1 << 17  # 128 KB: 5 frames/block at hist_bits 17
 
@@ -52,6 +54,7 @@ class ContainerInfo:
     total_reads: list
     num_cmds: list
     payload_off: int
+    crc32: int | None = None
 
 
 def hist_bits_for_block(block_size: int) -> int:
@@ -95,6 +98,8 @@ def encode_container(
             payloads.append(payload)
             meta.append((len(payload), enc.total_reads, enc.total_cmds))
 
+    from ..utils.crc32 import crc32
+
     out = io.BytesIO()
     out.write(
         _HDR.pack(
@@ -102,12 +107,13 @@ def encode_container(
             VERSION,
             hist_bits,
             frame_bits_for(hist_bits),
-            0,
+            FLAG_CRC32,
             block_size,
             len(data),
             num_blocks,
         )
     )
+    out.write(struct.pack(">I", crc32(data)))
     for m in meta:
         out.write(_BLK.pack(*m))
     for p in payloads:
@@ -116,15 +122,19 @@ def encode_container(
 
 
 def parse_container(data: bytes) -> ContainerInfo:
-    magic, version, hist_bits, frame_bits, _, block_size, total_len, num_blocks = _HDR.unpack_from(
+    magic, version, hist_bits, frame_bits, flags, block_size, total_len, num_blocks = _HDR.unpack_from(
         data, 0
     )
     if magic != MAGIC:
         raise ValueError("not an NLZP container")
     if version != VERSION:
         raise ValueError(f"unsupported NLZP version {version}")
-    comp_sizes, reads, cmds = [], [], []
     off = _HDR.size
+    crc = None
+    if flags & FLAG_CRC32:
+        (crc,) = struct.unpack_from(">I", data, off)
+        off += 4
+    comp_sizes, reads, cmds = [], [], []
     for _ in range(num_blocks):
         cs, rd, nc = _BLK.unpack_from(data, off)
         comp_sizes.append(cs)
@@ -140,6 +150,7 @@ def parse_container(data: bytes) -> ContainerInfo:
         total_reads=reads,
         num_cmds=cmds,
         payload_off=off,
+        crc32=crc,
     )
 
 
@@ -159,8 +170,24 @@ def pack_streams(data: bytes, info: ContainerInfo) -> np.ndarray:
     return arr
 
 
+class IntegrityError(ValueError):
+    pass
+
+
+def _verified(out: bytes, info: ContainerInfo) -> bytes:
+    if info.crc32 is not None:
+        from ..utils.crc32 import crc32
+
+        got = crc32(out)
+        if got != info.crc32:
+            raise IntegrityError(
+                f"CRC mismatch: stored {info.crc32:08X}, decoded {got:08X}"
+            )
+    return out
+
+
 def decode_container(data: bytes, engine: str = "tpu") -> bytes:
-    """Decode an NLZP container.
+    """Decode an NLZP container (CRC-verified when the container carries one).
 
     engine="tpu": batched FSM decode + LZ expansion (jit; runs on whatever
     jax backend is active). engine="native": threaded C++ host runtime.
@@ -168,7 +195,7 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
     """
     info = parse_container(data)
     if not info.comp_sizes:
-        return b""
+        return _verified(b"", info)
 
     if engine == "native":
         from .. import native
@@ -178,7 +205,10 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
         for cs in info.comp_sizes:
             payloads.append(data[off : off + cs])
             off += cs
-        return native.decode_blocks(payloads, info.hist_bits, info.block_size, info.total_len)
+        return _verified(
+            native.decode_blocks(payloads, info.hist_bits, info.block_size, info.total_len),
+            info,
+        )
 
     if engine == "serial":
         from ..codec import decode_bytes
@@ -191,7 +221,7 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
             stream = header + data[off : off + cs] + SENTINEL_FRAME
             out += decode_bytes(stream)
             off += cs
-        return bytes(out)
+        return _verified(bytes(out), info)
 
     import jax.numpy as jnp
 
@@ -206,4 +236,4 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
     out, produced = lz_expand_parallel(op_len, op_val, info.block_size)
     out_np = np.asarray(out).reshape(-1)
     full = out_np[: len(info.comp_sizes) * info.block_size]
-    return full.tobytes()[: info.total_len]
+    return _verified(full.tobytes()[: info.total_len], info)
