@@ -13,7 +13,8 @@ Flags:
     -parser:name    greedy | optimal (default optimal)
     -blocks[:size]  use the NLZP block-parallel container (TPU decode path);
                     optional uncompressed block size in bytes
-    -engine:name    decode engine: auto | serial | native | tpu
+    -engine:name    engine: auto | serial | native | tpu
+    -v              verbose: memory budget + per-stage timing report
 """
 
 import sys
@@ -40,10 +41,13 @@ def main(argv=None) -> int:
     parser = "optimal"
     block_size = 0  # 0 => single-stream NLZM format
     engine = "auto"
+    verbose = False
 
     while argv and argv[0].startswith("-"):
         arg = argv.pop(0).lstrip("-").lower()
-        if arg.startswith("window:"):
+        if arg == "v":
+            verbose = True
+        elif arg.startswith("window:"):
             window_bits = max(15, min(28, int(arg[7:])))
             print(f"Window bits: {window_bits}")
         elif arg.startswith("parser:"):
@@ -75,20 +79,35 @@ def main(argv=None) -> int:
         if os.path.exists(dst):
             return _fail(f"{dst} already exists")
         data = open(src, "rb").read()
-        t0 = time.time()
-        if block_size:
-            from .parallel.blocks import encode_container
+        if verbose:
+            from .utils.metrics import memory_report
 
-            out = encode_container(data, block_size=block_size, parser=parser)
-        else:
-            from .codec import encode_bytes
+            if block_size:
+                from .parallel.blocks import hist_bits_for_block
 
-            out = encode_bytes(data, window_bits, parser=parser)
+                nb = (len(data) + block_size - 1) // block_size
+                print(memory_report(hist_bits_for_block(block_size), block_size, nb))
+            else:
+                print(memory_report(window_bits))
+        from .utils.metrics import Metrics
+
+        m = Metrics()
+        with m.stage("encode", len(data)):
+            if block_size:
+                from .parallel.blocks import encode_container
+
+                out = encode_container(data, block_size=block_size, parser=parser, engine=engine)
+            else:
+                from .codec import encode_bytes
+
+                out = encode_bytes(data, window_bits, parser=parser, engine=engine)
         open(dst, "wb").write(out)
         print(
             f"{len(data)} -> {len(out)} bytes "
-            f"(input CRC32 {crc32(data):X}, {time.time() - t0:.2f} sec)"
+            f"(input CRC32 {crc32(data):X}, {m.stages['encode'].seconds:.2f} sec)"
         )
+        if verbose:
+            print(m.report())
         return 0
 
     if cmd in ("d", "t") and len(argv) in (1, 2):
