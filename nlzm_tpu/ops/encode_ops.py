@@ -21,10 +21,12 @@ The host then wraps per-block sections into standard NLZM frames (one frame
 per block; block_size <= frame chunk capacity), so archives decode with the
 serial/native/TPU decoders and the reference binary's wire format.
 
-The encoder emits literal/match commands only (never rep): a valid stream
-choice - rep commands are an encoder optimization (NLZM.cpp:1598-1628), not
-a decoder requirement. Greedy matching costs ~10-20% ratio vs the optimal
-parser; the optimal TPU parse rides on the same E3/E4 emission engine later.
+Between E2 and E3 a `repify` pass replays the decoder's rep-distance table
+over the command stream and converts matches whose distance is live in the
+table into rep commands (cmd=2 + 2 raw index bits instead of distance
+slots + extra bits) - the wire-cheaper encoding of the same match
+(NLZM.cpp:1598-1628 gets reps from the parser; here they are recovered
+from the greedy cover by table replay).
 """
 
 from functools import partial
@@ -147,6 +149,37 @@ def greedy_cover(data: jax.Array, delta: jax.Array, mlen: jax.Array, n_valid: ja
     return ys
 
 
+# ---------------------------------------------------------------- E2b
+@jax.jit
+def repify(op_len: jax.Array, op_val: jax.Array):
+    """Classify matches against the decoder's rep-distance table.
+
+    Mirrors decode_v2's rep_tab semantics (NLZM.cpp:1154-1181): a match
+    whose distance is live in the 4-slot table becomes a rep command
+    (cmd=2, 2 raw index bits, no distance slots/extras) - strictly cheaper
+    on the wire; a fresh distance stays a dict command and MTF-inserts.
+
+    Returns op_rep [T, B] i32: -1 = not a rep, else slot index 0..3.
+    """
+    T, B = op_len.shape
+    tab0 = jnp.broadcast_to(jnp.arange(1, 5, dtype=_I32), (B, 4))
+
+    def step(tab, xs):
+        L, V = xs
+        is_match = L > 0
+        eq = tab == V[:, None]  # [B, 4]
+        present = is_match & jnp.any(eq, axis=1)
+        idx = jnp.argmax(eq, axis=1).astype(_I32)
+        op_rep = jnp.where(present, idx, -1)
+        insert = is_match & ~present
+        shifted = jnp.concatenate([V[:, None], tab[:, :3]], axis=1)
+        tab = jnp.where(insert[:, None], shifted, tab)
+        return tab, op_rep
+
+    _, op_rep = jax.lax.scan(step, tab0, (op_len, op_val))
+    return op_rep
+
+
 # ---------------------------------------------------------------- E3
 class _EmitState(NamedTuple):
     cmd_c: jax.Array
@@ -189,8 +222,11 @@ def _fam_set(fam, idx, new_row, old_row, pred, k):
 
 
 @partial(jax.jit, static_argnames=())
-def emit_model(op_len: jax.Array, op_val: jax.Array):
+def emit_model(op_len: jax.Array, op_val: jax.Array, op_rep: jax.Array):
     """Model pass over step-aligned commands.
+
+    op_rep [T, B]: -1 = literal/dict, else 0..3 rep slot (op_val still
+    holds the actual distance for the length-min computation).
 
     Returns per (step, block): spans [T, B, 6] u32 ((freq<<16)|start, 0 =
     unused slot), bits_val [T, B], bits_nb [T, B], and num_ops [B].
@@ -212,10 +248,12 @@ def emit_model(op_len: jax.Array, op_val: jax.Array):
     )
 
     def step(s: _EmitState, xs):
-        L, V = xs
+        L, V, R = xs
         active = L >= 0
         is_lit = active & (L == 0)
         is_match = active & (L > 0)
+        is_rep = is_match & (R >= 0)
+        is_dict = is_match & (R < 0)
 
         delta = jnp.maximum(V, 1)
         mmin = (
@@ -248,8 +286,8 @@ def emit_model(op_len: jax.Array, op_val: jax.Array):
         extra = dv & ((1 << jnp.maximum(ab, 0)) - 1)
         dhi, dlo = slot >> 3, slot & 7
 
-        # slot 0: command (0 literal / 1 dict)
-        cmd_y = jnp.where(is_lit, 0, 1)
+        # slot 0: command (0 literal / 1 dict / 2 rep)
+        cmd_y = jnp.where(is_lit, 0, jnp.where(is_rep, 2, 1))
         r = s.cmd_c
         sp0 = jnp.where(active, _span_of(r, cmd_y), 0)
         s_cmd = jnp.where(active[:, None], _adapt(r, cmd_y, mix4), r)
@@ -281,25 +319,28 @@ def emit_model(op_len: jax.Array, op_val: jax.Array):
         upd3 = lelo_row + ((mix16[jnp.clip(elo, 0, 15)] - lelo_row) >> 7)
         s_lelo = _fam_set(s.lelo_c, ehi, upd3, lelo_row, esc, 16)
 
-        # slot 4: dist hi
-        dhi_row = _fam_row(s.dhi_c, jnp.where(is_match, lc, 0), 4)
-        sp4 = jnp.where(is_match, _span_of(dhi_row, dhi), 0)
+        # slot 4: dist hi (dict only; rep distances ride the rep table)
+        dhi_row = _fam_row(s.dhi_c, jnp.where(is_dict, lc, 0), 4)
+        sp4 = jnp.where(is_dict, _span_of(dhi_row, dhi), 0)
         upd4 = dhi_row + ((mix8[jnp.clip(dhi, 0, 7)] - dhi_row) >> 7)
-        s_dhi = _fam_set(s.dhi_c, lc, upd4, dhi_row, is_match, 4)
+        s_dhi = _fam_set(s.dhi_c, lc, upd4, dhi_row, is_dict, 4)
 
         # slot 5: dist lo
-        dlo_idx = jnp.where(is_match, (lc << 3) + dhi, 0)
+        dlo_idx = jnp.where(is_dict, (lc << 3) + dhi, 0)
         dlo_row = _fam_row(s.dlo_c, dlo_idx, 32)
-        sp5 = jnp.where(is_match, _span_of(dlo_row, dlo), 0)
+        sp5 = jnp.where(is_dict, _span_of(dlo_row, dlo), 0)
         upd5 = dlo_row + ((mix8[jnp.clip(dlo, 0, 7)] - dlo_row) >> 7)
-        s_dlo = _fam_set(s.dlo_c, dlo_idx, upd5, dlo_row, is_match, 32)
+        s_dlo = _fam_set(s.dlo_c, dlo_idx, upd5, dlo_row, is_dict, 32)
 
-        # raw-bit fields: the wire layout splits extra distance bits into a
-        # high field (ab-4 bits, only when ab > 4) and a low field
-        # (min(ab, 4) bits); staging-word capacity also requires the split
-        has_bits = is_match & (ab > 0)
-        nb_a = jnp.where(has_bits & (ab > 4), ab - 4, 0)
-        va = jnp.where(nb_a > 0, extra >> 4, 0)
+        # raw-bit fields. Rep: a single 2-bit slot-index field (read by the
+        # decoder before any other bit field in the command). Dict: extra
+        # distance bits split into a high field (ab-4 bits, only when
+        # ab > 4) and a low field (min(ab, 4) bits) for staging capacity.
+        has_bits = is_dict & (ab > 0)
+        nb_a = jnp.where(
+            is_rep, 2, jnp.where(has_bits & (ab > 4), ab - 4, 0)
+        )
+        va = jnp.where(is_rep, R, jnp.where(nb_a > 0, extra >> 4, 0))
         nb_b = jnp.where(has_bits, jnp.minimum(ab, 4), 0)
         vb = jnp.where(has_bits, extra & ((1 << nb_b) - 1), 0)
 
@@ -308,9 +349,11 @@ def emit_model(op_len: jax.Array, op_val: jax.Array):
             + active.astype(_I32)  # slot1 always coded when active
             + pred2.astype(_I32)
             + esc.astype(_I32)
-            + is_match.astype(_I32) * 2
+            + is_dict.astype(_I32) * 2
         )
-        n_bit_ops = jnp.where(has_bits, 1 + (ab > 4).astype(_I32), 0)
+        n_bit_ops = jnp.where(
+            is_rep, 1, jnp.where(has_bits, 1 + (ab > 4).astype(_I32), 0)
+        )
         nops = s.nops + n_spans + n_bit_ops
 
         spans = jnp.stack([sp0, sp1, sp2, sp3, sp4, sp5], axis=1)  # [B, 6]
@@ -320,7 +363,7 @@ def emit_model(op_len: jax.Array, op_val: jax.Array):
         )
         return new, (spans, va, nb_a, vb, nb_b)
 
-    st, ys = jax.lax.scan(step, st, (op_len, op_val))
+    st, ys = jax.lax.scan(step, st, (op_len, op_val, op_rep))
     spans, va, nb_a, vb, nb_b = ys
     return spans, (va, nb_a, vb, nb_b), st.nops
 
@@ -453,7 +496,8 @@ def encode_pipeline(dj, nv, reach: int, num_steps: int, rans_cap: int, bits_cap:
     """Full device-side encode: blocks in, frame sections out (jittable)."""
     delta, mlen = find_matches(dj, nv, reach)
     op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
-    spans, fields, nops = emit_model(op_len, op_val)
+    op_rep = repify(op_len, op_val)
+    spans, fields, nops = emit_model(op_len, op_val, op_rep)
     stream, rans_bytes = rans_backward(spans, rans_cap)
     bits_bytes, bits_n = bits_forward(fields, bits_cap)
     ncmds = jnp.sum((op_len >= 0).astype(_I32), axis=0)

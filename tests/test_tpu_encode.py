@@ -22,6 +22,46 @@ def test_tpu_encode_native_decode(corpus_text):
     assert decode_container(c, engine="native") == data
 
 
+def test_tpu_encode_rep_commands():
+    """Structured (fixed-stride) data: repify must convert recurring
+    distances into rep commands, shrink the payload, and still
+    cross-decode everywhere."""
+    import jax.numpy as jnp
+
+    from nlzm_tpu.ops import encode_ops as E
+
+    recs = [b"%08d,SENSOR_%02d,%06d,OK;" % (i, i % 16, (i * 2654435761) % 999983) for i in range(2000)]
+    data = b"".join(recs)[:48000]
+    c = encode_container(data, block_size=8192, engine="tpu")
+    assert decode_container(c, engine="serial") == data
+    assert decode_container(c, engine="tpu") == data
+
+    # rep conversion happens and is wire-cheaper on this corpus
+    import numpy as np
+
+    N, n = 8192, len(data)
+    nb = (n + N - 1) // N
+    arr = np.zeros((nb, N), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    for b in range(nb):
+        seg = flat[b * N : (b + 1) * N]
+        arr[b, : len(seg)] = seg
+    nv = np.minimum(N, n - np.arange(nb) * N).astype(np.int32)
+    dj, nvj = jnp.asarray(arr), jnp.asarray(nv)
+    delta, mlen = E.find_matches(dj, nvj, (1 << 13) - 1)
+    op_len, op_val = E.greedy_cover(dj, delta, mlen, nvj, ((N + 255) // 256) * 256)
+    op_rep = E.repify(op_len, op_val)
+    assert int(jnp.sum(op_rep >= 0)) > 100
+
+    sizes = {}
+    for name, rep in [("norep", jnp.full_like(op_len, -1)), ("rep", op_rep)]:
+        spans, fields, nops = E.emit_model(op_len, op_val, rep)
+        _, rans_bytes = E.rans_backward(spans, 4096 * 8)
+        _, bn = E.bits_forward(fields, 4096 * 4)
+        sizes[name] = int(jnp.sum(rans_bytes) + jnp.sum(bn))
+    assert sizes["rep"] < sizes["norep"]
+
+
 def test_tpu_encode_empty():
     assert decode_container(encode_container(b"", engine="tpu"), engine="serial") == b""
 
