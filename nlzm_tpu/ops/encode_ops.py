@@ -47,42 +47,12 @@ MAX_MLEN = 64  # greedy TPU profile caps matches at the nice length
 
 
 # ---------------------------------------------------------------- E1
-@partial(jax.jit, static_argnames=("reach",))
-def find_matches(data: jax.Array, n_valid: jax.Array, reach: int):
-    """Nearest previous occurrence of each position's 4-byte prefix.
+def _extend_matches(wordp, cand, ok, n_valid, pos, N):
+    """Byte-exact match length (<= MAX_MLEN) for candidate positions.
 
-    data: [B, N] uint8 (zero padded past n_valid).
-    Returns (delta [B, N] i32 (0 = none), mlen [B, N] i32 byte-exact <= 64).
+    wordp: [B, N + MAX_MLEN + 4] little-endian 4-byte words per position.
     """
-    B, N = data.shape
-    d = data.astype(_U32)
-    w = d[:, :] | 0
-    # little-endian 4-byte words at every position (pad tail with zeros)
-    pad = jnp.zeros((B, 4), _U32)
-    dp = jnp.concatenate([d, pad], axis=1)
-    word = dp[:, :N] | (dp[:, 1 : N + 1] << 8) | (dp[:, 2 : N + 2] << 16) | (dp[:, 3 : N + 3] << 24)
-
-    h = ((word * HASH4_MULT) & jnp.asarray(0xFFFFFFFF, _U32)) >> 16  # 16-bit hash
-    pos = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
-    # sort by (hash, position): equal hashes adjacent, positions ascending
-    key = h.astype(_I32) * N + pos
-    order = jnp.argsort(key, axis=1)
-    h_s = jnp.take_along_axis(h, order, axis=1)
-    same = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), h_s[:, 1:] == h_s[:, :-1]], axis=1
-    )
-    prev_pos = jnp.concatenate([jnp.zeros((B, 1), _I32), order[:, :-1]], axis=1)
-    cand_sorted = jnp.where(same, prev_pos, -1)
-    # scatter candidates back to position order
-    barange = jnp.arange(B)[:, None]
-    cand = jnp.zeros((B, N), _I32).at[barange, order].set(cand_sorted)
-
-    delta = pos - cand
-    ok = (cand >= 0) & (delta > 0) & (delta <= reach)
-    delta = jnp.where(ok, delta, 0)
-
-    # word-compare extension, byte-exact up to MAX_MLEN
-    wordp = jnp.concatenate([word, jnp.zeros((B, MAX_MLEN + 4), _U32)], axis=1)
+    B = wordp.shape[0]
     full = jnp.zeros((B, N), _I32)  # count of fully-equal leading words
     alive = ok
     mism = jnp.zeros((B, N), _U32)  # first mismatching xor
@@ -99,20 +69,67 @@ def find_matches(data: jax.Array, n_valid: jax.Array, reach: int):
 
     # trailing bytes within the first mismatching word
     tz = jnp.where(
-        mism == 0,
-        32,
-        jnp.minimum(
-            jnp.minimum((mism & 0xFF) != 0, 1) * 0
-            + jnp.where((mism & 0xFF) != 0, 0, jnp.where((mism & 0xFFFF) != 0, 1, jnp.where((mism & 0xFFFFFF) != 0, 2, 3))),
-            3,
-        ),
+        (mism & 0xFF) != 0,
+        0,
+        jnp.where((mism & 0xFFFF) != 0, 1, jnp.where((mism & 0xFFFFFF) != 0, 2, 3)),
     )
     mlen = full * 4 + jnp.where(mism == 0, 0, tz)
     mlen = jnp.minimum(mlen, MAX_MLEN)
     # stay inside the block's valid bytes
     limit = jnp.maximum(n_valid[:, None] - pos, 0)
-    mlen = jnp.minimum(mlen, limit)
-    return delta, mlen
+    return jnp.minimum(mlen, limit)
+
+
+@partial(jax.jit, static_argnames=("reach", "num_cands"))
+def find_matches(data: jax.Array, n_valid: jax.Array, reach: int, num_cands: int = 1):
+    """Previous occurrences of each position's 4-byte prefix.
+
+    data: [B, N] uint8 (zero padded past n_valid).
+    Sort-based: argsort groups equal 16-bit hashes with positions ascending;
+    the k-th previous entry in sort order is the k-th most recent prior
+    occurrence. Lengths are verified byte-exact (hash collisions yield short
+    or zero lengths, never wrong matches).
+
+    Returns (delta [B, N, C] i32 (0 = none), mlen [B, N, C] i32 <= 64),
+    squeezed to [B, N] when num_cands == 1.
+    """
+    B, N = data.shape
+    d = data.astype(_U32)
+    # little-endian 4-byte words at every position (pad tail with zeros)
+    pad = jnp.zeros((B, 4), _U32)
+    dp = jnp.concatenate([d, pad], axis=1)
+    word = dp[:, :N] | (dp[:, 1 : N + 1] << 8) | (dp[:, 2 : N + 2] << 16) | (dp[:, 3 : N + 3] << 24)
+
+    h = ((word * HASH4_MULT) & jnp.asarray(0xFFFFFFFF, _U32)) >> 16  # 16-bit hash
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+    # sort by (hash, position): equal hashes adjacent, positions ascending
+    key = h.astype(_I32) * N + pos
+    order = jnp.argsort(key, axis=1)
+    h_s = jnp.take_along_axis(h, order, axis=1)
+    barange = jnp.arange(B)[:, None]
+    wordp = jnp.concatenate([word, jnp.zeros((B, MAX_MLEN + 4), _U32)], axis=1)
+
+    deltas, mlens = [], []
+    for k in range(1, num_cands + 1):
+        same = jnp.concatenate(
+            [jnp.zeros((B, k), bool), h_s[:, k:] == h_s[:, :-k]], axis=1
+        )
+        prev_pos = jnp.concatenate(
+            [jnp.zeros((B, k), _I32), order[:, :-k]], axis=1
+        )
+        cand_sorted = jnp.where(same, prev_pos, -1)
+        # scatter candidates back to position order
+        cand = jnp.zeros((B, N), _I32).at[barange, order].set(cand_sorted)
+        delta = pos - cand
+        ok = (cand >= 0) & (delta > 0) & (delta <= reach)
+        delta = jnp.where(ok, delta, 0)
+        mlen = _extend_matches(wordp, cand, ok, n_valid, pos, N)
+        deltas.append(delta)
+        mlens.append(mlen)
+
+    if num_cands == 1:
+        return deltas[0], mlens[0]
+    return jnp.stack(deltas, axis=2), jnp.stack(mlens, axis=2)
 
 
 # ---------------------------------------------------------------- E2
@@ -147,6 +164,190 @@ def greedy_cover(data: jax.Array, delta: jax.Array, mlen: jax.Array, n_valid: ja
 
     pos, ys = jax.lax.scan(step, jnp.zeros((B,), _I32), None, length=num_steps)
     return ys
+
+
+# ---------------------------------------------------------------- E2-opt
+# Static approximate bit costs for the DP parse, in 1/16-bit fixed point.
+# The reference prices edges with its live adaptive model (NLZM.cpp:
+# 1208-1272); a batched DP cannot thread that state across positions, so
+# these are calibrated static estimates of the adapted model's costs.
+_C_LIT = 6 * 16  # literal: cmd + two nibble CDFs
+_C_CMD_M = 2 * 16  # match command symbol
+_C_LEN_BASE = 2 * 16  # direct length symbol (lv < 7)
+_C_LEN_SLOPE = 4  # mild preference for shorter lv
+_C_LEN_ESC = 11 * 16  # escape + two extension nibbles
+_C_DIST_SLOT = 5 * 16 + 8  # two distance-slot CDFs
+_DP_BIG = 1 << 28
+
+
+def default_dp_costs():
+    """[LIT, CMD_M, LEN_BASE, LEN_SLOPE, LEN_ESC, DIST_SLOT] in 1/16 bit."""
+    return jnp.asarray(
+        [_C_LIT, _C_CMD_M, _C_LEN_BASE, _C_LEN_SLOPE, _C_LEN_ESC, _C_DIST_SLOT], _I32
+    )
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def dp_parse(
+    delta: jax.Array,
+    mlen: jax.Array,
+    n_valid: jax.Array,
+    costs: jax.Array | None = None,
+    max_len: int = MAX_MLEN,
+):
+    """Approximate-cost shortest-path parse (batched backward DP).
+
+    delta/mlen: [B, N, C] candidate distances/verified lengths (C per
+    position). A backward scan carries a sliding window win[:, j] =
+    cost[i+1+j] of the next max_len positions, relaxes the literal edge and
+    every (candidate, length) match edge with static model costs, and
+    records the local choice; a forward cover then follows the choices.
+    This is the reference parser's graph relaxation (NLZM.cpp:1464-1651)
+    restructured so every position's relaxation is dense vector math.
+
+    Returns (choice_len [B, N] i32 (0 = literal), choice_cand [B, N] i32).
+    """
+    B, N, C = delta.shape
+    if costs is None:
+        costs = default_dp_costs()
+    if costs.ndim == 1:
+        costs = jnp.broadcast_to(costs, (B, 6))
+    c_lit, c_cmd_m, c_len_base, c_len_slope, c_len_esc, c_dist_slot = (
+        costs[:, 0], costs[:, 1], costs[:, 2], costs[:, 3], costs[:, 4], costs[:, 5]
+    )  # each [B]
+    lens = jnp.arange(1, max_len + 1, dtype=_I32)  # [L]
+
+    def step(win, xs):
+        d_t, l_t, i = xs  # [B, C], [B, C], scalar index
+        active = i < n_valid  # [B]
+
+        dv = jnp.maximum(d_t, 1) - 1
+        nbits = 32 - jnp.clip(
+            jax.lax.clz(jnp.maximum(dv, 1).astype(_U32)).astype(_I32), 0, 31
+        )
+        ab = jnp.where(dv >= 4, nbits - 2, 0)
+        dist_c = (c_cmd_m + c_dist_slot)[:, None] + ab * 16  # [B, C]
+
+        mmin = (
+            2
+            + (d_t > 0xFF).astype(_I32)
+            + (d_t > 0xFFF).astype(_I32)
+            + (d_t > 0xFFFFF).astype(_I32)
+        )
+        lv = lens[None, :, None] - mmin[:, None, :]  # [B, L, C]
+        len_c = jnp.where(
+            lv < 7,
+            c_len_base[:, None, None] + jnp.maximum(lv, 0) * c_len_slope[:, None, None],
+            c_len_esc[:, None, None],
+        )
+        tot = dist_c[:, None, :] + len_c + win[:, :max_len, None]  # [B, L, C]
+        valid = (
+            (lv >= 0)
+            & (lens[None, :, None] <= l_t[:, None, :])
+            & (d_t[:, None, :] > 0)
+        )
+        tot = jnp.where(valid, tot, _DP_BIG)
+
+        flat = tot.reshape(B, max_len * C)
+        am = jnp.argmin(flat, axis=1)
+        mc = jnp.take_along_axis(flat, am[:, None], axis=1)[:, 0]
+        best_len = (am // C) + 1
+        best_cand = am % C
+
+        lit_c = c_lit + win[:, 0]  # both [B]
+        use_match = mc < lit_c
+        c = jnp.where(use_match, mc, lit_c)
+        c = jnp.where(active, c, 0)
+        choice_len = jnp.where(active & use_match, best_len, 0)
+        win = jnp.concatenate([c[:, None], win[:, :-1]], axis=1)
+        return win, (choice_len, best_cand.astype(_I32))
+
+    win0 = jnp.zeros((B, max_len), _I32)
+    xs = (
+        delta.transpose(1, 0, 2),
+        mlen.transpose(1, 0, 2),
+        jnp.arange(N, dtype=_I32),
+    )
+    _, (choice_len, choice_cand) = jax.lax.scan(step, win0, xs, reverse=True)
+    return choice_len.T, choice_cand.T
+
+
+@partial(jax.jit, static_argnames=("num_steps",))
+def dp_cover(
+    data: jax.Array,
+    delta: jax.Array,
+    choice_len: jax.Array,
+    choice_cand: jax.Array,
+    n_valid: jax.Array,
+    num_steps: int,
+):
+    """Follow the DP choices: one command per step per block (decoder's ys
+    format, like greedy_cover)."""
+    B, N, C = delta.shape
+    data_i = data.astype(_I32)
+
+    def step(pos, _):
+        at = jnp.clip(pos, 0, N - 1)[:, None]
+        l = jnp.take_along_axis(choice_len, at, axis=1)[:, 0]
+        cand = jnp.take_along_axis(choice_cand, at, axis=1)[:, 0]
+        cand_oh = jax.nn.one_hot(cand, C, dtype=_I32)
+        d_all = jnp.take_along_axis(delta, at[:, :, None], axis=1)[:, 0, :]
+        d = jnp.sum(cand_oh * d_all, axis=1)
+        byte = jnp.take_along_axis(data_i, at, axis=1)[:, 0]
+        active = pos < n_valid
+        use = active & (l > 0)
+        out_len = jnp.where(active, jnp.where(use, l, 0), -1)
+        val = jnp.where(use, d, byte)
+        pos = pos + jnp.where(active, jnp.maximum(l, 1), 0)
+        return pos, (out_len, val)
+
+    _, ys = jax.lax.scan(step, jnp.zeros((B,), _I32), None, length=num_steps)
+    return ys
+
+
+@jax.jit
+def measure_costs(spans, op_len, op_val, op_rep):
+    """Per-block empirical DP costs from an emitted command stream.
+
+    The reference prices parse edges with its live adaptive model
+    (NLZM.cpp:1208-1272). The batched equivalent is a second pass: measure
+    each block's realized average cost per command family from pass 1's
+    spans (exact -log2(freq/2^14) of every coded symbol) and feed them back
+    into dp_parse as [B, 6] cost rows.
+    """
+    T, B, _ = spans.shape
+    freq = (spans >> 16).astype(jnp.float32)
+    bits16 = jnp.where(
+        spans != 0, (14.0 - jnp.log2(jnp.maximum(freq, 1.0))) * 16.0, 0.0
+    )  # [T, B, 6] in 1/16 bit
+
+    is_lit = op_len == 0
+    is_match = op_len > 0
+    is_dict = is_match & (op_rep < 0)
+    delta = jnp.maximum(op_val, 1)
+    mmin = (
+        2
+        + (delta > 0xFF).astype(_I32)
+        + (delta > 0xFFF).astype(_I32)
+        + (delta > 0xFFFFF).astype(_I32)
+    )
+    esc = is_match & ((op_len - mmin) >= 7)
+
+    def avg(total, mask, fallback):
+        cnt = jnp.sum(mask.astype(jnp.float32), axis=0)
+        s = jnp.sum(total * mask.astype(jnp.float32), axis=0)
+        return jnp.where(cnt > 4, s / jnp.maximum(cnt, 1.0), float(fallback))
+
+    lit_cost = avg(jnp.sum(bits16[:, :, 0:3], axis=2), is_lit, _C_LIT)
+    cmd_m = avg(bits16[:, :, 0], is_match, _C_CMD_M)
+    len_base = avg(bits16[:, :, 1], is_match & ~esc, _C_LEN_BASE)
+    len_esc = avg(jnp.sum(bits16[:, :, 1:4], axis=2), esc, _C_LEN_ESC)
+    dist_slot = avg(
+        jnp.sum(bits16[:, :, 4:6], axis=2), is_dict, _C_DIST_SLOT
+    )
+    slope = jnp.full((B,), float(_C_LEN_SLOPE), jnp.float32)
+    costs = jnp.stack([lit_cost, cmd_m, len_base, slope, len_esc, dist_slot], axis=1)
+    return jnp.round(costs).astype(_I32)
 
 
 # ---------------------------------------------------------------- E2b
@@ -492,10 +693,26 @@ def bits_forward(fields, cap: int):
 
 
 # ---------------------------------------------------------------- driver
-def encode_pipeline(dj, nv, reach: int, num_steps: int, rans_cap: int, bits_cap: int):
+def encode_pipeline(
+    dj, nv, reach: int, num_steps: int, rans_cap: int, bits_cap: int, parser: str = "greedy"
+):
     """Full device-side encode: blocks in, frame sections out (jittable)."""
-    delta, mlen = find_matches(dj, nv, reach)
-    op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
+    if parser == "optimal":
+        delta, mlen = find_matches(dj, nv, reach, num_cands=2)
+        costs = None
+        # iterated per-block cost calibration (converges by pass 3:
+        # realized model costs feed the next parse, like the reference's
+        # live-model edge pricing but batched)
+        for i in range(3):
+            choice_len, choice_cand = dp_parse(delta, mlen, nv, costs)
+            op_len, op_val = dp_cover(dj, delta, choice_len, choice_cand, nv, num_steps)
+            if i < 2:
+                op_rep = repify(op_len, op_val)
+                spans, _, _ = emit_model(op_len, op_val, op_rep)
+                costs = measure_costs(spans, op_len, op_val, op_rep)
+    else:
+        delta, mlen = find_matches(dj, nv, reach)
+        op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
     op_rep = repify(op_len, op_val)
     spans, fields, nops = emit_model(op_len, op_val, op_rep)
     stream, rans_bytes = rans_backward(spans, rans_cap)
@@ -504,7 +721,9 @@ def encode_pipeline(dj, nv, reach: int, num_steps: int, rans_cap: int, bits_cap:
     return stream, rans_bytes, bits_bytes, bits_n, nops, ncmds
 
 
-def encode_blocks_tpu(data: bytes, block_size: int, hist_bits: int, mesh=None):
+def encode_blocks_tpu(
+    data: bytes, block_size: int, hist_bits: int, mesh=None, parser: str = "greedy"
+):
     """Encode blocks on the TPU; returns (payloads, reads, cmds) like
     native.encode_blocks. Each block is one NLZM frame. With a mesh, blocks
     shard data-parallel over its device axis."""
@@ -542,6 +761,7 @@ def encode_blocks_tpu(data: bytes, block_size: int, hist_bits: int, mesh=None):
         num_steps=num_steps,
         rans_cap=rans_cap,
         bits_cap=bits_cap,
+        parser=parser,
     )
     if mesh is None:
         fn = jax.jit(fn)

@@ -81,7 +81,7 @@ def encode_container(
     if engine == "tpu" and num_blocks:
         from ..ops.encode_ops import encode_blocks_tpu
 
-        payloads, reads, cmds = encode_blocks_tpu(data, block_size, hist_bits)
+        payloads, reads, cmds = encode_blocks_tpu(data, block_size, hist_bits, parser=parser)
         meta = list(zip(map(len, payloads), reads, cmds))
     elif use_native and num_blocks:
         from .. import native

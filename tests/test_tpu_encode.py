@@ -22,6 +22,22 @@ def test_tpu_encode_native_decode(corpus_text):
     assert decode_container(c, engine="native") == data
 
 
+@pytest.mark.parametrize("name", ["text", "repetitive", "random"])
+def test_tpu_optimal_parse_cross_decodes(corpus_samples, name):
+    data = corpus_samples[name]
+    c = encode_container(data, block_size=4096, parser="optimal", engine="tpu")
+    assert decode_container(c, engine="serial") == data
+    assert decode_container(c, engine="tpu") == data
+
+
+def test_tpu_optimal_parse_beats_greedy(corpus_text):
+    data = corpus_text(49152)
+    greedy = encode_container(data, block_size=8192, parser="greedy", engine="tpu")
+    opt = encode_container(data, block_size=8192, parser="optimal", engine="tpu")
+    assert decode_container(opt, engine="serial") == data
+    assert len(opt) < len(greedy)
+
+
 def test_tpu_encode_rep_commands():
     """Structured (fixed-stride) data: repify must convert recurring
     distances into rep commands, shrink the payload, and still
