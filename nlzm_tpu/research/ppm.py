@@ -1,30 +1,45 @@
-"""PPM research codec: order-4 context mixing over a carry-less range coder.
+"""PPM research codec: order-6 context mixing over a carry-less range coder.
 
 Capability counterpart of the reference's research PPMd var.I
 (research/ppmd-cleaned-cpp/: Subbotin-style carry-less range coder
-ppmd_rc.cpp:1-92, suffix-chained context model with escape estimation
-ppmd_model.cpp, mirror encode/decode drivers ppmd_file.cpp). This is a
+ppmd_rc.cpp:1-92, suffix-chained context model with SEE escape estimation
+ppmd_model.cpp:3-29,600-616, mirror encode/decode drivers ppmd_file.cpp,
+model restart on arena exhaustion ppmd_model.cpp:136-154). This is a
 fresh, compact design rather than a var.I re-implementation:
 
 - 32-bit carry-less range coder (TOP = 2^24 renormalization), the same
   coder family as the reference's.
-- Hashed context tables for orders 4..1 plus an order-0 table (no
+- Hashed context tables for orders 6..1 plus an order-0 table (no
   suballocator arena: Python dicts keyed by context hash; each context
-  holds symbol frequencies). Escape probability is method-C-like
-  (escape weight = number of distinct symbols), halving rescale at 8k.
+  holds symbol frequencies). Order 6 is the reference harness's default
+  (research/ppmd-cleaned-cpp/main.cpp:47).
+- SEE (secondary escape estimation): adaptive escape-probability
+  estimators bucketed by (order, distinct-symbol count, context totals),
+  the same role as the reference's tbl_see[23][32] quantization - escape
+  weight is learned from realized escapes instead of method-C counting.
 - Exclusion of symbols already rejected at higher orders, as in PPM
   proper.
+- Bounded model memory with deterministic restart: when the stats pool
+  exceeds MAX_NODES the whole model resets (both drivers hit the same
+  trigger at the same symbol, keeping the streams mirror-exact) - the
+  capability analog of var.I's RestoreModel/CutOff on suballocator OOM.
 
 Slow host-reference implementation (research-grade, like the reference's
 research tree); the batched TPU formulation follows the LZ engine's
-SIMD-across-streams pattern and is roadmap (ADAPTIVE per-block tries are
+SIMD-across-streams pattern and is roadmap (adaptive per-block tries are
 memory-bound on HBM; see README roadmap).
 """
 
 TOP = 1 << 24
 BOT = 1 << 15
 MAX_FREQ = 8192
-ORDERS = (4, 3, 2, 1)
+ORDERS = (6, 5, 4, 3, 2, 1)
+MAX_NODES = 1 << 20  # stats entries across all orders before model restart
+
+# SEE fixed-point scale: estimator state is P(escape) in 1/4096 units
+SEE_SCALE = 4096
+SEE_INIT = 1638  # ~0.4 initial escape probability
+SEE_SHIFT = 5  # adaptation rate: acc += (target - acc) >> 5
 
 
 class RangeEncoder:
@@ -88,18 +103,56 @@ class RangeDecoder:
             self.range_ = (self.range_ << 8) & 0xFFFFFFFFFFFFFFFF
 
 
+class _SEE:
+    """Adaptive escape-probability bank.
+
+    Bucketing follows the reference's quantization idea (ppmd.h:295-317:
+    indices from num_stats / suffix counts / flags): here (order index,
+    clamped distinct-symbol count, coarse total-frequency class).
+    """
+
+    def __init__(self) -> None:
+        self.acc = {}
+
+    @staticmethod
+    def _bucket(order_i: int, n_items: int, tot_inc: int) -> int:
+        nq = n_items if n_items < 8 else 8 + (n_items.bit_length() - 3)
+        tq = min(tot_inc.bit_length(), 12)
+        return (order_i << 8) | (min(nq, 15) << 4) | tq
+
+    def escape_weight(self, order_i: int, n_items: int, tot_inc: int):
+        """(esc_weight >= 1, bucket key) for a context layout."""
+        key = self._bucket(order_i, n_items, tot_inc)
+        p = self.acc.get(key, SEE_INIT)
+        # esc/(tot_inc + esc) ~= p/SEE_SCALE  ->  esc = tot_inc * p/(SCALE-p)
+        esc = (tot_inc * p) // (SEE_SCALE - p)
+        return max(1, min(esc, tot_inc * 4 + 1)), key
+
+    def update(self, key: int, escaped: bool) -> None:
+        p = self.acc.get(key, SEE_INIT)
+        target = SEE_SCALE - 1 if escaped else 0
+        self.acc[key] = p + ((target - p) >> SEE_SHIFT)
+
+
 class _Model:
     """Shared encode/decode model state (mirror-image drivers)."""
 
     def __init__(self) -> None:
+        self._reset()
+
+    def _reset(self) -> None:
         # per order: {ctx_hash: {symbol: freq}}
         self.tables = [dict() for _ in ORDERS]
         self.order0 = {}
+        self.see = _SEE()
+        self.nodes = 0
 
     @staticmethod
     def _ctx_keys(hist: int):
-        # hist holds the last 4 bytes, newest in the low byte
+        # hist holds the last 6 bytes, newest in the low byte
         return (
+            hist & 0xFFFFFFFFFFFF,
+            hist & 0xFFFFFFFFFF,
             hist & 0xFFFFFFFF,
             hist & 0xFFFFFF,
             hist & 0xFFFF,
@@ -107,36 +160,46 @@ class _Model:
         )
 
     @staticmethod
-    def _rescale(stats: dict) -> None:
+    def _rescale(stats: dict) -> int:
+        dropped = 0
         for s in list(stats):
             nf = stats[s] >> 1
             if nf:
                 stats[s] = nf
             else:
                 del stats[s]
+                dropped += 1
+        return dropped
 
     def update(self, hist: int, sym: int) -> None:
         for table, key in zip(self.tables, self._ctx_keys(hist)):
             stats = table.get(key)
             if stats is None:
                 table[key] = {sym: 1}
+                self.nodes += 1
             else:
+                if sym not in stats:
+                    self.nodes += 1
                 stats[sym] = stats.get(sym, 0) + 4
                 if sum(stats.values()) > MAX_FREQ:
-                    self._rescale(stats)
+                    self.nodes -= self._rescale(stats)
         self.order0[sym] = self.order0.get(sym, 0) + 1
         if sum(self.order0.values()) > MAX_FREQ:
             self._rescale(self.order0)
+        # deterministic restart at the memory bound: the capability analog
+        # of the reference's RestoreModel on suballocator OOM - both
+        # drivers see the same node count at the same symbol
+        if self.nodes > MAX_NODES:
+            self._reset()
 
 
 def _context_spans(stats: dict, excluded: set):
-    """Cumulative layout of a context: included symbols then escape."""
+    """Included symbols of a context, in stable order."""
     items = [(s, f) for s, f in sorted(stats.items()) if s not in excluded]
     if not items:
         return None
-    esc = len(items)  # method-C-like escape weight
-    tot = sum(f for _, f in items) + esc
-    return items, esc, tot
+    tot_inc = sum(f for _, f in items)
+    return items, tot_inc
 
 
 def compress(data: bytes) -> bytes:
@@ -146,14 +209,16 @@ def compress(data: bytes) -> bytes:
     for sym in data:
         excluded: set = set()
         coded = False
-        for table, key in zip(model.tables, model._ctx_keys(hist)):
+        for oi, (table, key) in enumerate(zip(model.tables, model._ctx_keys(hist))):
             stats = table.get(key)
             if not stats:
                 continue
             layout = _context_spans(stats, excluded)
             if layout is None:
                 continue
-            items, esc, tot = layout
+            items, tot_inc = layout
+            esc, see_key = model.see.escape_weight(oi, len(items), tot_inc)
+            tot = tot_inc + esc
             cum = 0
             hit = None
             for s, f in items:
@@ -163,15 +228,19 @@ def compress(data: bytes) -> bytes:
                 cum += f
             if hit is not None:
                 enc.encode(hit[0], hit[1], tot)
+                model.see.update(see_key, False)
                 coded = True
                 break
-            enc.encode(tot - esc, esc, tot)  # escape
+            enc.encode(tot_inc, esc, tot)  # escape
+            model.see.update(see_key, True)
             excluded.update(s for s, _ in items)
         if not coded:
             # order 0 with exclusions, then a flat order(-1) alphabet
             layout = _context_spans(model.order0, excluded)
             if layout is not None:
-                items, esc, tot = layout
+                items, tot_inc = layout
+                esc = len(items)  # method-C at order 0
+                tot = tot_inc + esc
                 cum = 0
                 hit = None
                 for s, f in items:
@@ -183,14 +252,14 @@ def compress(data: bytes) -> bytes:
                     enc.encode(hit[0], hit[1], tot)
                     coded = True
                 else:
-                    enc.encode(tot - esc, esc, tot)
+                    enc.encode(tot_inc, esc, tot)
                     excluded.update(s for s, _ in items)
             if not coded:
                 rest = [s for s in range(256) if s not in excluded]
                 idx = rest.index(sym)
                 enc.encode(idx, 1, len(rest))
         model.update(hist, sym)
-        hist = ((hist << 8) | sym) & 0xFFFFFFFF
+        hist = ((hist << 8) | sym) & 0xFFFFFFFFFFFF
     payload = enc.flush()
     return len(data).to_bytes(8, "big") + payload
 
@@ -204,14 +273,16 @@ def decompress(blob: bytes) -> bytes:
     for _ in range(n):
         excluded: set = set()
         sym = None
-        for table, key in zip(model.tables, model._ctx_keys(hist)):
+        for oi, (table, key) in enumerate(zip(model.tables, model._ctx_keys(hist))):
             stats = table.get(key)
             if not stats:
                 continue
             layout = _context_spans(stats, excluded)
             if layout is None:
                 continue
-            items, esc, tot = layout
+            items, tot_inc = layout
+            esc, see_key = model.see.escape_weight(oi, len(items), tot_inc)
+            tot = tot_inc + esc
             f = dec.get_freq(tot)
             cum = 0
             found = None
@@ -222,14 +293,18 @@ def decompress(blob: bytes) -> bytes:
                 cum += fr
             if found is not None:
                 dec.decode(found[1], found[2])
+                model.see.update(see_key, False)
                 sym = found[0]
                 break
-            dec.decode(tot - esc, esc)  # escape
+            dec.decode(tot_inc, esc)  # escape
+            model.see.update(see_key, True)
             excluded.update(s for s, _ in items)
         if sym is None:
             layout = _context_spans(model.order0, excluded)
             if layout is not None:
-                items, esc, tot = layout
+                items, tot_inc = layout
+                esc = len(items)
+                tot = tot_inc + esc
                 f = dec.get_freq(tot)
                 cum = 0
                 found = None
@@ -242,7 +317,7 @@ def decompress(blob: bytes) -> bytes:
                     dec.decode(found[1], found[2])
                     sym = found[0]
                 else:
-                    dec.decode(tot - esc, esc)
+                    dec.decode(tot_inc, esc)
                     excluded.update(s for s, _ in items)
             if sym is None:
                 rest = [s for s in range(256) if s not in excluded]
@@ -251,5 +326,5 @@ def decompress(blob: bytes) -> bytes:
                 sym = rest[idx]
         out.append(sym)
         model.update(hist, sym)
-        hist = ((hist << 8) | sym) & 0xFFFFFFFF
+        hist = ((hist << 8) | sym) & 0xFFFFFFFFFFFF
     return bytes(out)
