@@ -1,0 +1,550 @@
+"""NLZP wide profile: plane-separated, lane-parallel block format.
+
+The v1 block profile keeps the reference's per-symbol-adaptive model
+(NLZM.cpp:212-438), which forces the decoder to advance one command per
+scan step and to over-fetch worst-case renorm windows - on TPU that is
+gather-bound (~7 gathered words per command). The wide profile is the
+TPU-first redesign of the same command stream:
+
+- **Planes.** Commands are split into independent symbol sequences:
+  `tok` (literal/dict/rep), `lit` (byte nibbles), `len` (direct length),
+  `lex` (length extension nibbles), `dst` (distance slot nibbles), plus a
+  raw-bit plane (rep index, distance extra bits). Each plane decodes in
+  its own scan with a fixed number of CDF reads per step.
+- **Lane-parallel rANS.** Each plane interleaves L independent rANS lanes
+  (round-robin by symbol). Renorm byte pairs are laid out in exact decode
+  order (step, read, lane), so a step fetches ONE contiguous window of
+  at most 2L bytes per read instead of per-lane worst-case windows.
+  The rANS math is identical to the reference's (NLZM.cpp:444-488):
+  14-bit CDFs, 16-bit renorm, 4-byte little-endian lane seeds.
+- **Chunked semi-adaptive CDFs.** Tables are static within a chunk of 32
+  steps and rebuilt from realized symbol counts at chunk boundaries
+  (carry halved each boundary). Encoder and decoder run the same
+  deterministic rebuild, so no tables are transmitted. This trades the
+  reference's per-symbol adaptation for lane-parallel decodability.
+- **Parallel rep semantics.** `rep idx r` references the r-th most recent
+  *dict* command distance (duplicates allowed, no MTF dedup, virtual
+  initial table {1,2,3,4} like RepModel's init, NLZM.cpp:1154-1158).
+  Unlike the reference's present-check MTF (NLZM.cpp:1160-1181) this
+  resolves with a vectorized gather instead of a sequential table replay.
+
+Block payload layout (big-endian):
+
+    for each of the 5 planes: u32 sym_count, u32 stream_bytes
+    u32 bits_bytes
+    then the 5 plane streams (each: L x u32le lane seeds, then renorm
+    pairs in decode order), then the raw-bit plane (MSB-first).
+
+This module holds the format tables and the host (numpy) encoder; the
+batched device decoder lives in nlzm_tpu.ops.wide_decode.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
+
+CHUNK_STEPS = 16  # steady-state table rebuild cadence (in scan steps)
+WARMUP_CHUNKS = (2, 2, 4, 8)  # short early chunks: fast model warmup
+
+
+def chunk_schedule(steps_needed: int) -> tuple:
+    """Chunk lengths covering >= steps_needed (warmup then steady)."""
+    sched = []
+    total = 0
+    for w in WARMUP_CHUNKS:
+        sched.append(w)
+        total += w
+        if total >= steps_needed:
+            return tuple(sched)
+    while total < steps_needed:
+        sched.append(CHUNK_STEPS)
+        total += CHUNK_STEPS
+    return tuple(sched)
+
+
+def padded_steps(n_sym: int, lanes: int) -> int:
+    """Total scan steps (= sum of the chunk schedule) for n_sym symbols."""
+    need = max(1, -(-n_sym // lanes))
+    return sum(chunk_schedule(need))
+
+
+@dataclass(frozen=True)
+class PlaneSpec:
+    name: str
+    lanes: int
+    reads: int  # CDF reads per symbol
+    alphabets: tuple  # per read
+    rows: tuple  # context rows per read
+
+    @property
+    def chunk_syms(self) -> int:
+        return CHUNK_STEPS * self.lanes
+
+
+# read-0 row: 0 everywhere except dst (= lc); read-1 row: lit/lex: y0,
+# dst: lc*8 + y0
+PLANES = (
+    PlaneSpec("tok", 32, 1, (4,), (1,)),
+    PlaneSpec("lit", 32, 2, (16, 16), (1, 16)),
+    PlaneSpec("len", 16, 1, (8,), (1,)),
+    PlaneSpec("lex", 8, 2, (16, 16), (1, 16)),
+    PlaneSpec("dst", 16, 2, (8, 8), (4, 32)),
+)
+N_PLANES = len(PLANES)
+HDR_BYTES = 8 * N_PLANES + 4
+
+TOK_LIT, TOK_DICT, TOK_REP = 0, 1, 2
+
+
+def build_cdf(counts: np.ndarray, nsym: int) -> np.ndarray:
+    """Deterministic fence table from symbol counts.
+
+    counts: [..., nsym] -> fences [..., 17] with fence[0]=0 and
+    fence[nsym..16]=2^14; every symbol keeps freq >= 1 (the last symbol
+    absorbs rounding slack).
+    """
+    tot = counts.sum(axis=-1, keepdims=True)
+    freq = 1 + (counts * (CDF_SCALE_TOTAL - nsym)) // (tot + 1)
+    fences = np.zeros(counts.shape[:-1] + (17,), np.int32)
+    np.cumsum(freq, axis=-1, out=fences[..., 1 : nsym + 1])
+    fences[..., nsym:] = CDF_SCALE_TOTAL
+    return fences
+
+
+class _TableBank:
+    """Per-(block, read) chunked-adaptive fence tables (numpy)."""
+
+    def __init__(self, B: int, spec: PlaneSpec):
+        self.spec = spec
+        self.tables = []  # per read: [B, rows, 17]
+        self.counts = []  # fresh counts this chunk
+        self.carry = []  # decayed history
+        for r in range(spec.reads):
+            rows, nsym = spec.rows[r], spec.alphabets[r]
+            t = np.zeros((B, rows, 17), np.int32)
+            step = CDF_SCALE_TOTAL // nsym
+            t[..., 1 : nsym + 1] = np.arange(1, nsym + 1) * step
+            t[..., nsym:] = CDF_SCALE_TOTAL
+            self.tables.append(t)
+            self.counts.append(np.zeros((B, rows, nsym), np.int64))
+            self.carry.append(np.zeros((B, rows, nsym), np.int64))
+
+    def span(self, r: int, row: np.ndarray, y: np.ndarray, active: np.ndarray):
+        """(start, freq) for symbols y in context rows; bumps counts."""
+        B, L = y.shape
+        b = np.arange(B)[:, None]
+        t = self.tables[r][b, row]  # [B, L, 17]
+        l = np.arange(L)[None, :]
+        start = t[b, l, y]
+        freq = t[b, l, y + 1] - start
+        np.add.at(self.counts[r], (b.repeat(L, 1)[active], row[active], y[active]), 1)
+        return start, freq
+
+    def boundary(self):
+        for r in range(self.spec.reads):
+            self.carry[r] = (self.carry[r] >> 1) + self.counts[r]
+            self.counts[r][:] = 0
+            self.tables[r] = build_cdf(self.carry[r], self.spec.alphabets[r])
+
+
+def _rans_encode_plane(spec: PlaneSpec, syms, rows, n_sym, B):
+    """Backward interleaved rANS over one plane.
+
+    syms/rows: per read r, [B, T_pad] symbol / context-row arrays
+    (T_pad = steps*L); n_sym: [B] symbol counts.
+    Returns list of per-block byte strings (seeds + pairs, decode order).
+    """
+    L = spec.lanes
+    T_pad = syms[0].shape[1]
+    steps = T_pad // L
+    bank = _TableBank(B, spec)
+
+    boundary_after = set()
+    acc = 0
+    for c in chunk_schedule(steps):
+        acc += c
+        boundary_after.add(acc - 1)
+
+    # forward pass: realized (start, freq) per (step, read, lane)
+    starts = [np.zeros((steps, B, L), np.int32) for _ in range(spec.reads)]
+    freqs = [np.ones((steps, B, L), np.int32) for _ in range(spec.reads)]
+    actives = np.zeros((steps, B, L), bool)
+    sym_r = [s.reshape(B, steps, L) for s in syms]
+    row_r = [s.reshape(B, steps, L) for s in rows]
+    lane_idx = np.arange(L)[None, :]
+    for t in range(steps):
+        active = (t * L + lane_idx) < n_sym[:, None]
+        actives[t] = active
+        for r in range(spec.reads):
+            y = sym_r[r][:, t, :]
+            st, fq = bank.span(r, row_r[r][:, t, :], y, active)
+            starts[r][t] = np.where(active, st, 0)
+            freqs[r][t] = np.where(active, fq, 1)
+        if t in boundary_after:
+            bank.boundary()
+
+    # backward pass per lane
+    x = np.full((B, L), 1 << 16, np.uint64)
+    pair_hi = [[None] * spec.reads for _ in range(steps)]
+    pair_lo = [[None] * spec.reads for _ in range(steps)]
+    pair_m = [[None] * spec.reads for _ in range(steps)]
+    for t in range(steps - 1, -1, -1):
+        for r in range(spec.reads - 1, -1, -1):
+            active = actives[t]
+            fq = freqs[r][t].astype(np.uint64)
+            st = starts[r][t].astype(np.uint64)
+            over = active & (x >= (fq << 18))
+            pair = (x & 0xFFFF).astype(np.uint16)
+            x1 = np.where(over, x >> 16, x)
+            x2 = ((x1 // fq) << CDF_SCALE_BITS) + (x1 % fq) + st
+            x = np.where(active, x2, x)
+            pair_hi[t][r] = (pair >> 8).astype(np.uint8)
+            pair_lo[t][r] = (pair & 0xFF).astype(np.uint8)
+            pair_m[t][r] = over
+
+    streams = []
+    for b in range(B):
+        out = bytearray()
+        for lane in range(L):
+            out += int(x[b, lane]).to_bytes(4, "little")
+        for t in range(steps):
+            for r in range(spec.reads):
+                m = pair_m[t][r][b]
+                if m.any():
+                    hi = pair_hi[t][r][b][m]
+                    lo = pair_lo[t][r][b][m]
+                    pairs = np.empty(2 * len(hi), np.uint8)
+                    pairs[0::2] = hi
+                    pairs[1::2] = lo
+                    out += pairs.tobytes()
+        streams.append(bytes(out))
+    return streams
+
+
+def _pack_bits(widths: np.ndarray, values: np.ndarray) -> bytes:
+    """MSB-first bit packing of (width, value) fields (single block)."""
+    total = int(widths.sum())
+    if total == 0:
+        return b""
+    offs = np.cumsum(widths) - widths
+    w_rep = np.repeat(widths, widths)
+    v_rep = np.repeat(values, widths)
+    idx_within = np.arange(total) - np.repeat(offs, widths)
+    bits = (v_rep >> (w_rep - 1 - idx_within)) & 1
+    return np.packbits(bits.astype(np.uint8)).tobytes()
+
+
+def mmin_of(delta: np.ndarray) -> np.ndarray:
+    return (
+        2
+        + (delta > 0xFF).astype(np.int64)
+        + (delta > 0xFFF).astype(np.int64)
+        + (delta > 0xFFFFF).astype(np.int64)
+    )
+
+
+def dist_slot_of(dv: np.ndarray):
+    """(slot, add_bits, extra) per the reference slot code (NLZM.cpp:1311-1318)."""
+    dv = dv.astype(np.int64)
+    nbits = np.zeros_like(dv)
+    nz = dv > 0
+    nbits[nz] = np.floor(np.log2(dv[nz])).astype(np.int64) + 1
+    big = dv >= 4
+    ab = np.where(big, nbits - 2, 0)
+    top = dv >> np.maximum(ab, 0)
+    slot = np.where(big, ((nbits - 1) << 1) + (top & 1), dv)
+    extra = dv & ((1 << np.maximum(ab, 0)) - 1)
+    return slot, ab, extra
+
+
+def _plane_symbol_data(op_len, op_val, op_rep):
+    """Per-block plane symbol/row sequences from trimmed command arrays."""
+    op_len = np.asarray(op_len, np.int64)
+    op_val = np.asarray(op_val, np.int64)
+    op_rep = np.asarray(op_rep, np.int64)
+    is_lit = op_len == 0
+    is_match = op_len > 0
+    is_rep = is_match & (op_rep >= 0)
+    is_dict = is_match & (op_rep < 0)
+
+    tok = np.where(is_lit, TOK_LIT, np.where(is_rep, TOK_REP, TOK_DICT))
+
+    lit_b = op_val[is_lit]
+    lit_hi, lit_lo = lit_b >> 4, lit_b & 15
+
+    delta_m = op_val[is_match]
+    lv = op_len[is_match] - mmin_of(delta_m)
+    assert (lv >= 0).all() and (lv <= 262).all()
+    len_sym = np.minimum(lv, 7)
+    esc = lv >= 7
+    ext = lv[esc] - 7
+    lex_hi, lex_lo = ext >> 4, ext & 15
+    lc = np.minimum(lv, 3)
+
+    dict_in_m = is_dict[is_match]
+    dv = op_val[is_dict] - 1
+    slot, ab, extra = dist_slot_of(dv)
+    dst_hi, dst_lo = slot >> 3, slot & 7
+    lc_d = lc[dict_in_m]
+
+    # raw-bit plane, command order: rep -> 2-bit index; dict -> ab bits
+    widths = np.where(is_rep, 2, 0).astype(np.int64)
+    widths[is_dict] += ab
+    values = np.zeros(len(op_len), np.int64)
+    values[is_rep] = op_rep[is_rep]
+    values[is_dict] = extra
+    bits = _pack_bits(widths, values)
+
+    z = np.zeros_like
+    return {
+        "tok": ([tok], [z(tok)]),
+        "lit": ([lit_hi, lit_lo], [z(lit_hi), lit_hi]),
+        "len": ([len_sym], [z(len_sym)]),
+        "lex": ([lex_hi, lex_lo], [z(lex_hi), lex_hi]),
+        "dst": ([dst_hi, dst_lo], [lc_d, lc_d * 8 + dst_hi]),
+    }, bits
+
+
+def encode_wide_blocks(op_len, op_val, op_rep) -> list:
+    """Encode command arrays [T, B] into per-block wide payloads.
+
+    op_len < 0 marks steps past a block's end; all blocks' planes encode
+    batched (the rANS passes vectorize across blocks and lanes).
+    """
+    op_len = np.asarray(op_len)
+    T, B = op_len.shape
+    per_block = []
+    for b in range(B):
+        col = op_len[:, b]
+        n = int(np.argmax(col < 0)) if (col < 0).any() else T
+        pd, bits = _plane_symbol_data(
+            op_len[:n, b], np.asarray(op_val)[:n, b], np.asarray(op_rep)[:n, b]
+        )
+        per_block.append((pd, bits))
+
+    plane_streams = []
+    plane_counts = []
+    for spec in PLANES:
+        counts = np.asarray(
+            [len(pd[spec.name][0][0]) for pd, _ in per_block], np.int64
+        )
+        T_pad = padded_steps(int(counts.max()), spec.lanes) * spec.lanes
+        syms_p = [np.zeros((B, T_pad), np.int64) for _ in range(spec.reads)]
+        rows_p = [np.zeros((B, T_pad), np.int64) for _ in range(spec.reads)]
+        for b, (pd, _) in enumerate(per_block):
+            syms, rows = pd[spec.name]
+            n = counts[b]
+            for r in range(spec.reads):
+                syms_p[r][b, :n] = syms[r]
+                rows_p[r][b, :n] = rows[r]
+        plane_streams.append(_rans_encode_plane(spec, syms_p, rows_p, counts, B))
+        plane_counts.append(counts)
+
+    payloads = []
+    for b in range(B):
+        out = bytearray()
+        for i in range(N_PLANES):
+            out += int(plane_counts[i][b]).to_bytes(4, "big")
+            out += len(plane_streams[i][b]).to_bytes(4, "big")
+        bits = per_block[b][1]
+        out += len(bits).to_bytes(4, "big")
+        for i in range(N_PLANES):
+            out += plane_streams[i][b]
+        out += bits
+        payloads.append(bytes(out))
+    return payloads
+
+
+def encode_wide_block(op_len, op_val, op_rep) -> bytes:
+    """Single-block convenience wrapper over encode_wide_blocks."""
+    op_len = np.asarray(op_len, np.int64)[:, None]
+    op_val = np.asarray(op_val, np.int64)[:, None]
+    op_rep = np.asarray(op_rep, np.int64)[:, None]
+    return encode_wide_blocks(op_len, op_val, op_rep)[0]
+
+
+class _PlaneDecoder:
+    """Host reference decoder for one plane stream (mirror of
+    _rans_encode_plane; the batched device decoder must match it)."""
+
+    def __init__(self, spec: PlaneSpec, stream: bytes, n_sym: int):
+        self.spec = spec
+        L = spec.lanes
+        self.x = np.frombuffer(stream[: 4 * L], "<u4").astype(np.uint64).copy()
+        self.pos = 4 * L
+        self.stream = stream
+        self.n = n_sym
+        self.bank = _TableBank(1, spec)
+        self.steps = padded_steps(n_sym, spec.lanes)
+        self.boundary_after = set()
+        acc = 0
+        for c in chunk_schedule(self.steps):
+            acc += c
+            self.boundary_after.add(acc - 1)
+
+    def decode(self, row_fn):
+        """row_fn(read, lane_syms_so_far...) -> context rows; returns
+        per-read symbol arrays [n]."""
+        spec, L = self.spec, self.spec.lanes
+        out = [np.zeros(self.steps * L, np.int64) for _ in range(spec.reads)]
+        lane_idx = np.arange(L)
+        for t in range(self.steps):
+            active = (t * L + lane_idx) < self.n
+            ys = []
+            for r in range(spec.reads):
+                rows = row_fn(r, t, ys)
+                tbl = self.bank.tables[r][0, rows]  # [L, 17]
+                f = (self.x & 0x3FFF).astype(np.int64)
+                y = (f[:, None] >= tbl[:, 1:]).sum(axis=1)
+                start = tbl[lane_idx, y]
+                freq = tbl[lane_idx, y + 1] - start
+                x2 = freq.astype(np.uint64) * (self.x >> CDF_SCALE_BITS) + (
+                    f - start
+                ).astype(np.uint64)
+                for lane in range(L):
+                    if not active[lane]:
+                        continue
+                    v = x2[lane]
+                    if v < (1 << 16):
+                        b0v = self.stream[self.pos]
+                        b1v = self.stream[self.pos + 1]
+                        self.pos += 2
+                        v = (v << 16) | (b0v << 8) | b1v
+                    self.x[lane] = v
+                y = np.where(active, y, 0)
+                np.add.at(
+                    self.bank.counts[r],
+                    (np.zeros(int(active.sum()), np.int64), rows[active], y[active]),
+                    1,
+                )
+                out[r][t * L : (t + 1) * L] = y
+                ys.append(y)
+            if t in self.boundary_after:
+                self.bank.boundary()
+        return [o[: self.n] for o in out]
+
+
+def decode_wide_block(payload: bytes):
+    """Host reference decode of one wide block -> (op_len, op_val) arrays."""
+    counts, sizes = [], []
+    off = 0
+    for _ in range(N_PLANES):
+        counts.append(int.from_bytes(payload[off : off + 4], "big"))
+        sizes.append(int.from_bytes(payload[off + 4 : off + 8], "big"))
+        off += 8
+    bits_len = int.from_bytes(payload[off : off + 4], "big")
+    off += 4
+    streams = []
+    for s in sizes:
+        streams.append(payload[off : off + s])
+        off += s
+    bits = payload[off : off + bits_len]
+
+    def simple_rows(spec):
+        return lambda r, t, ys: (
+            np.zeros(spec.lanes, np.int64) if r == 0 else ys[0]
+        )
+
+    tok = _PlaneDecoder(PLANES[0], streams[0], counts[0]).decode(
+        simple_rows(PLANES[0])
+    )[0]
+    lit_hi, lit_lo = _PlaneDecoder(PLANES[1], streams[1], counts[1]).decode(
+        simple_rows(PLANES[1])
+    )
+    len_sym = _PlaneDecoder(PLANES[2], streams[2], counts[2]).decode(
+        simple_rows(PLANES[2])
+    )[0]
+    lex_hi, lex_lo = _PlaneDecoder(PLANES[3], streams[3], counts[3]).decode(
+        simple_rows(PLANES[3])
+    )
+
+    # assembly (sequential host mirror)
+    T = counts[0]
+    is_lit = tok == TOK_LIT
+    is_rep = tok == TOK_REP
+    is_dict = tok == TOK_DICT
+    n_match = int((~is_lit).sum())
+    esc = len_sym[:n_match] == 7
+    ext = (lex_hi << 4) + lex_lo
+    lv = len_sym[:n_match].copy()
+    lv[esc] = 7 + ext[: int(esc.sum())]
+    lc = np.minimum(lv, 3)
+    # dst rows need lc per dict match
+    m_of_cmd = np.cumsum(~is_lit) - 1
+    dict_mask_m = np.zeros(n_match, bool)
+    dict_mask_m[m_of_cmd[is_dict]] = True
+    lc_d = lc[dict_mask_m]
+
+    spec_d = PLANES[4]
+
+    def dst_rows(r, t, ys):
+        L = spec_d.lanes
+        lo = t * L
+        seg = np.zeros(L, np.int64)
+        seg_src = lc_d[lo : lo + L]
+        seg[: len(seg_src)] = seg_src
+        return seg if r == 0 else seg * 8 + ys[0]
+
+    dst_hi, dst_lo = _PlaneDecoder(spec_d, streams[4], counts[4]).decode(dst_rows)
+
+    # raw bits
+    bit_arr = np.unpackbits(np.frombuffer(bits, np.uint8))
+    op_len = np.zeros(T, np.int64)
+    op_val = np.zeros(T, np.int64)
+    lit_i = m_i = dict_i = lex_i = bit_p = 0
+    hist = [1, 2, 3, 4]
+    for k in range(T):
+        if is_lit[k]:
+            op_val[k] = (lit_hi[lit_i] << 4) | lit_lo[lit_i]
+            lit_i += 1
+            continue
+        this_lv = lv[m_i]
+        m_i += 1
+        if is_rep[k]:
+            r = int(
+                (bit_arr[bit_p] << 1) | bit_arr[bit_p + 1]
+            )
+            bit_p += 2
+            delta = hist[r]
+        else:
+            slot = (dst_hi[dict_i] << 3) | dst_lo[dict_i]
+            dict_i += 1
+            if slot < 4:
+                dv = int(slot)
+            else:
+                ab = int(slot // 2 - 1)
+                extra = 0
+                for i in range(ab):
+                    extra = (extra << 1) | int(bit_arr[bit_p + i])
+                bit_p += ab
+                dv = ((2 + (int(slot) & 1)) << ab) + extra
+            delta = dv + 1
+            hist = [delta] + hist[:3]
+        op_len[k] = this_lv + int(mmin_of(np.asarray([delta]))[0])
+        op_val[k] = delta
+    return op_len, op_val
+
+
+PLANES_BY = {p.name: p for p in PLANES}
+
+
+def classify_reps_wide(op_len, op_val):
+    """op_rep under the wide profile's last-4-dicts rule (single block).
+
+    A match whose distance equals one of the 4 most recent dict-command
+    distances (virtual initial history 1,2,3,4) becomes rep r; otherwise
+    it is a dict command and its distance enters the history.
+    """
+    tab = [1, 2, 3, 4]
+    op_rep = np.full(len(op_len), -1, np.int64)
+    for k in range(len(op_len)):
+        if op_len[k] <= 0:
+            continue
+        d = int(op_val[k])
+        if d in tab:
+            op_rep[k] = tab.index(d)
+        else:
+            tab = [d] + tab[:3]
+    return op_rep

@@ -721,6 +721,54 @@ def encode_pipeline(
     return stream, rans_bytes, bits_bytes, bits_n, nops, ncmds
 
 
+def _blocks_arrays(data: bytes, block_size: int):
+    """Split bytes into [nblocks, N] zero-padded array + valid counts."""
+    n = len(data)
+    N = block_size
+    nblocks = (n + N - 1) // N
+    arr = np.zeros((nblocks, N), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    for b in range(nblocks):
+        seg = flat[b * N : (b + 1) * N]
+        arr[b, : len(seg)] = seg
+    n_valid = np.minimum(
+        np.full(nblocks, N, np.int64), n - np.arange(nblocks) * N
+    ).astype(np.int32)
+    return arr, n_valid
+
+
+def parse_blocks_device(data: bytes, block_size: int, hist_bits: int, parser: str = "optimal"):
+    """Device parse only: blocks -> command arrays.
+
+    Returns (op_len [T, Bn], op_val, op_rep) as numpy, where op_rep uses
+    the rep-table replay rule (identical for the v1 and wide profiles:
+    a present distance is emitted as rep and so never re-enters the
+    table, which keeps the last-4-dicts window duplicate-free).
+    """
+    arr, n_valid = _blocks_arrays(data, block_size)
+    if arr.shape[0] == 0:
+        return (np.zeros((0, 0), np.int32),) * 3
+    dj, nv = jnp.asarray(arr), jnp.asarray(n_valid)
+    N = block_size
+    num_steps = ((N + 255) // 256) * 256
+    reach = (1 << hist_bits) - 1
+    if parser == "optimal":
+        delta, mlen = find_matches(dj, nv, reach, num_cands=2)
+        costs = None
+        for i in range(3):
+            choice_len, choice_cand = dp_parse(delta, mlen, nv, costs)
+            op_len, op_val = dp_cover(dj, delta, choice_len, choice_cand, nv, num_steps)
+            if i < 2:
+                op_rep = repify(op_len, op_val)
+                spans, _, _ = emit_model(op_len, op_val, op_rep)
+                costs = measure_costs(spans, op_len, op_val, op_rep)
+    else:
+        delta, mlen = find_matches(dj, nv, reach)
+        op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
+    op_rep = repify(op_len, op_val)
+    return np.asarray(op_len), np.asarray(op_val), np.asarray(op_rep)
+
+
 def encode_blocks_tpu(
     data: bytes, block_size: int, hist_bits: int, mesh=None, parser: str = "greedy"
 ):

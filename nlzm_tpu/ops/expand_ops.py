@@ -31,33 +31,7 @@ import jax.numpy as jnp
 
 _I32 = jnp.int32
 
-_PB = 14  # payload bits for the packed sort path (positions < 2^14)
-_PACK_MAX = 1 << _PB
-
-
-def _gather_sorted(src_vals, queries):
-    """out[b, k] = src_vals[b, queries[b, k]] via packed sort + cummax fill.
-
-    All of src_vals, queries, and query indices must fit in _PB bits.
-    """
-    B, N = src_vals.shape
-    Q = queries.shape[1]
-    iota_n = jnp.arange(N, dtype=_I32)
-    iota_q = jnp.arange(Q, dtype=_I32)
-    # packed key: (pos << 1 | tag) << PB | payload; source tag 0 sorts
-    # before queries at the same position (parents satisfy p[i] <= i)
-    src_e = jnp.broadcast_to(iota_n << (_PB + 1), (B, N)) | src_vals
-    qry_e = (queries << (_PB + 1)) | (1 << _PB) | iota_q[None, :]
-    s = jax.lax.sort(jnp.concatenate([src_e, qry_e], axis=1), dimension=1)
-    is_q = (s >> _PB) & 1
-    # forward-fill the latest source record (monotone in pos -> cummax)
-    filled = jax.lax.cummax(jnp.where(is_q == 0, s, -1), axis=1)
-    val = filled & (_PACK_MAX - 1)
-    # route back to query order: queries first, keyed by their own index
-    dest = jnp.where(is_q == 1, s & (_PACK_MAX - 1), 0)
-    key2 = ((1 - is_q) << (2 * _PB)) | (dest << _PB) | val
-    s2 = jax.lax.sort(key2, dimension=1)
-    return s2[:, :Q] & (_PACK_MAX - 1)
+from .sort_gather import PACK_MAX as _PACK_MAX, PB as _PB, gather_sorted as _gather_sorted
 
 
 def _cmd_attrs_scatter(lens, starts, val_list, block_size):

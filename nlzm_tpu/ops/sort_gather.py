@@ -1,0 +1,63 @@
+"""Gather-via-sort primitives.
+
+TPU has no per-lane gather hardware; XLA lowers gather to ~70M elem/s
+(measured, v5e) while its sorts run ~1.2G elem/s. These helpers
+restructure batched gathers/compactions as packed single-i32 sorts:
+
+- gather_sorted:  out[b, k] = src[b, idx[b, k]]   (2 sorts + cummax fill)
+- compact_by_rank: out[b, r] = val[b, k] where rank[b, k] == r (1 sort)
+
+Packing budget: position bits PB + tag bit + payload bits PB must stay
+below 31, so PB=15 supports arrays up to 32768 wide with 15-bit payloads.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_I32 = jnp.int32
+PB = 15
+PACK_MAX = 1 << PB
+
+
+def gather_sorted(src_vals: jax.Array, queries: jax.Array) -> jax.Array:
+    """out[b, k] = src_vals[b, queries[b, k]] via packed sort + cummax fill.
+
+    src_vals values, queries, and query count must all fit in PB bits.
+    """
+    B, N = src_vals.shape
+    Q = queries.shape[1]
+    assert N <= PACK_MAX and Q <= PACK_MAX
+    iota_n = jnp.arange(N, dtype=_I32)
+    iota_q = jnp.arange(Q, dtype=_I32)
+    # packed key: (pos << 1 | tag) << PB | payload; source tag 0 sorts
+    # before queries at the same position
+    src_e = jnp.broadcast_to(iota_n << (PB + 1), (B, N)) | src_vals
+    qry_e = (queries << (PB + 1)) | (1 << PB) | iota_q[None, :]
+    s = jax.lax.sort(jnp.concatenate([src_e, qry_e], axis=1), dimension=1)
+    is_q = (s >> PB) & 1
+    # forward-fill the latest source record (monotone in pos -> cummax)
+    filled = jax.lax.cummax(jnp.where(is_q == 0, s, -1), axis=1)
+    val = filled & (PACK_MAX - 1)
+    # route back to query order: queries first, keyed by their own index
+    dest = jnp.where(is_q == 1, s & (PACK_MAX - 1), 0)
+    key2 = ((1 - is_q) << (2 * PB)) | (dest << PB) | val
+    s2 = jax.lax.sort(key2, dimension=1)
+    return s2[:, :Q] & (PACK_MAX - 1)
+
+
+def compact_by_rank(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_width: int) -> jax.Array:
+    """out[b, rank[b, k]] = vals[b, k] for pred; one packed sort.
+
+    rank must be a bijection onto 0..count-1 over pred positions (e.g. an
+    exclusive cumsum of pred). Slots past a block's count read 0.
+    """
+    B, K = vals.shape
+    assert K <= PACK_MAX and out_width <= PACK_MAX
+    key = jnp.where(pred, rank, PACK_MAX) << PB  # filler sorts after all ranks
+    s = jax.lax.sort(key | vals, dimension=1)
+    out = s[:, :out_width] & (PACK_MAX - 1)
+    # slots at/past count hold the PACK_MAX-1 filler key's payload; zero them
+    valid = jnp.arange(out_width, dtype=_I32)[None, :] < jnp.sum(
+        pred.astype(_I32), axis=1, keepdims=True
+    )
+    return jnp.where(valid, out, 0)

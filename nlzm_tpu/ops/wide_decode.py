@@ -1,0 +1,362 @@
+"""Batched device decoder for the NLZP wide profile.
+
+Decodes B blocks in lockstep. Each of the five symbol planes
+(format/wide.py) runs as its own scan-of-scans: the outer scan walks
+chunks (rebuilding the CDF tables from realized counts at each boundary,
+same deterministic rule as the encoder), the inner scan walks the 32
+steps of a chunk; a step advances L rANS lanes together through 1-2
+predicated CDF reads against the chunk-static tables, fetching ONE
+contiguous byte window per step (the stream is laid out in exact decode
+order: step, read, lane).
+
+Command assembly is scan-free: plane outputs are routed to command slots
+with packed-sort gathers (ops/sort_gather.py), raw-bit fields are sliced
+at prefix-summed offsets, and rep distances resolve against the last-4
+dict distances by index arithmetic - the wide profile's rep rule is a
+gather, not a sequential table replay. LZ expansion then reuses
+ops/expand_ops.lz_expand_parallel.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
+from ..format.wide import CHUNK_STEPS, PLANES
+from .sort_gather import compact_by_rank, gather_sorted
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+TOK_LIT, TOK_DICT, TOK_REP = 0, 1, 2
+
+
+def _build_cdf_jnp(carry, nsym: int):
+    """Device mirror of format.wide.build_cdf. carry: [B, R, >=nsym] i32
+    (columns past nsym are always zero and ignored)."""
+    carry = carry[..., :nsym]
+    tot = jnp.sum(carry, axis=-1, keepdims=True)
+    freq = 1 + (carry * (CDF_SCALE_TOTAL - nsym)) // (tot + 1)
+    fences = jnp.cumsum(freq, axis=-1)[..., :-1]
+    shape = carry.shape[:-1]
+    return jnp.concatenate(
+        [
+            jnp.zeros(shape + (1,), _I32),
+            fences,
+            jnp.full(shape + (17 - nsym,), CDF_SCALE_TOTAL, _I32),
+        ],
+        axis=-1,
+    )
+
+
+def _uniform_tables(B: int, rows: int, nsym: int):
+    step = CDF_SCALE_TOTAL // nsym
+    cells = np.zeros(17, np.int32)
+    cells[1 : nsym + 1] = np.arange(1, nsym + 1) * step
+    cells[nsym:] = CDF_SCALE_TOTAL
+    return jnp.broadcast_to(jnp.asarray(cells), (B, rows, 17)).astype(_I32)
+
+
+@partial(jax.jit, static_argnames=("plane_idx", "steps"))
+def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: int, steps: int):
+    """Decode one plane for all blocks.
+
+    words: [B, W] u32 little-endian words of the plane stream (seeds
+    first). n_sym: [B] symbol counts. ctx: [B, steps*L] read-0 context
+    rows (all-zero except the dst plane's lc sequence). steps must equal
+    sum(chunk_schedule(...)) as produced by format.wide.padded_steps.
+    Returns per-read symbol arrays, each [B, steps*L].
+    """
+    from ..format.wide import chunk_schedule
+
+    spec = PLANES[plane_idx]
+    L, reads = spec.lanes, spec.reads
+    B, W = words.shape
+    win_words = (2 * L * reads) // 4 + 2  # covers every renorm this step
+
+    seeds = words[:, :L].astype(_U32)  # u32le lane states
+    lane_iota = jnp.arange(L, dtype=_I32)
+    widx = jnp.arange(win_words, dtype=_I32)
+
+    ctx_t = ctx.reshape(B, steps, L).transpose(1, 0, 2)  # [steps, B, L]
+    t_iota = jnp.arange(steps, dtype=_I32)
+    active_t = (
+        (t_iota[:, None, None] * L + lane_iota[None, None, :])
+        < n_sym[None, :, None]
+    )
+
+    def read_one(x, cursor, win, win_base, tables, counts, row, active):
+        """One predicated CDF read across lanes."""
+        f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
+        row_oh = jax.nn.one_hot(row, tables.shape[1], dtype=_I32)
+        tbl = jnp.einsum("blr,brw->blw", row_oh, tables)  # [B, L, 17]
+        y = jnp.sum(f[:, :, None] >= tbl[:, :, 1:], axis=2).astype(_I32)
+        y_oh = jax.nn.one_hot(y, 17, dtype=_I32)
+        y1_oh = jax.nn.one_hot(y + 1, 17, dtype=_I32)
+        start = jnp.sum(y_oh * tbl, axis=2)
+        freq = jnp.sum(y1_oh * tbl, axis=2) - start
+
+        x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
+        renorm = active & (x2 < jnp.asarray(1 << 16, _U32))
+        rank = jnp.cumsum(renorm.astype(_I32), axis=1) - renorm.astype(_I32)
+        bpos = cursor[:, None] + 2 * rank
+        j = bpos - win_base[:, None]
+
+        def byte_at(jj):
+            wsel = jax.nn.one_hot(jnp.clip(jj >> 2, 0, win_words - 1), win_words, dtype=_I32)
+            w = jnp.einsum("blw,bw->bl", wsel, win.astype(_I32)).astype(_U32)
+            return (w >> ((jj & 3) << 3).astype(_U32)) & jnp.asarray(0xFF, _U32)
+
+        b0, b1 = byte_at(j), byte_at(j + 1)
+        x3 = jnp.where(renorm, (x2 << 16) | (b0 << 8) | b1, x2)
+        x = jnp.where(active, x3, x)
+        cursor = cursor + 2 * jnp.sum(renorm.astype(_I32), axis=1)
+
+        y = jnp.where(active, y, 0)
+        y16 = jax.nn.one_hot(jnp.clip(y, 0, 15), 16, dtype=_I32) * active.astype(_I32)[:, :, None]
+        counts = counts + jnp.einsum("blr,bls->brs", row_oh, y16)
+        return y, x, cursor, counts
+
+    def step_body(carry, xs):
+        x, cursor, tables, counts = carry
+        row0, active = xs
+        base = cursor >> 2
+        win = jnp.take_along_axis(
+            words, jnp.clip(base[:, None] + widx[None, :], 0, W - 1), axis=1
+        )
+        win_base = base << 2
+        ys = []
+        y_prev = jnp.zeros((B, L), _I32)
+        new_counts = []
+        for r in range(reads):
+            if r == 0:
+                row = row0
+            elif spec.name == "dst":
+                row = row0 * 8 + y_prev
+            else:
+                row = y_prev
+            y, x, cursor, cnt = read_one(
+                x, cursor, win, win_base, tables[r], counts[r], row, active
+            )
+            new_counts.append(cnt)
+            ys.append(y)
+            y_prev = y
+        return (x, cursor, tables, tuple(new_counts)), tuple(ys)
+
+    def chunk_body(carry, xs):
+        x, cursor, tables, carries = carry
+        ctx_c, active_c = xs
+        counts0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(reads))
+        (x, cursor, _, counts), ys = jax.lax.scan(
+            step_body, (x, cursor, tables, counts0), (ctx_c, active_c)
+        )
+        new_carries = tuple(
+            (carries[r] >> 1) + counts[r] for r in range(reads)
+        )
+        new_tables = tuple(
+            _build_cdf_jnp(new_carries[r], spec.alphabets[r]) for r in range(reads)
+        )
+        return (x, cursor, new_tables, new_carries), ys
+
+    tables0 = tuple(_uniform_tables(B, spec.rows[r], spec.alphabets[r]) for r in range(reads))
+    carries0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(reads))
+    cursor0 = jnp.full((B,), 4 * L, _I32)
+
+    # group the warmup schedule into runs of equal chunk length; each run
+    # is one scan-of-scans, state threads across runs
+    schedule = chunk_schedule(steps)
+    assert sum(schedule) == steps, (schedule, steps)
+    runs = []
+    for clen in schedule:
+        if runs and runs[-1][0] == clen:
+            runs[-1][1] += 1
+        else:
+            runs.append([clen, 1])
+
+    carry = (seeds, cursor0, tables0, carries0)
+    ys_parts = [[] for _ in range(reads)]
+    t0 = 0
+    for clen, count in runs:
+        seg = slice(t0, t0 + clen * count)
+        ctx_x = ctx_t[seg].reshape(count, clen, B, L)
+        act_x = active_t[seg].reshape(count, clen, B, L)
+        carry, ys = jax.lax.scan(chunk_body, carry, (ctx_x, act_x))
+        for r in range(reads):
+            ys_parts[r].append(ys[r].reshape(count * clen, B, L))
+        t0 += clen * count
+
+    return tuple(
+        jnp.concatenate(p, axis=0).transpose(1, 0, 2).reshape(B, steps * L)
+        for p in ys_parts
+    )
+
+
+# ------------------------------------------------------------- assembly
+@partial(jax.jit, static_argnames=("dst_width",))
+def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width):
+    """Stage A: everything decodable before the dst plane (whose scan
+    needs the lc context). Returns per-command arrays + dst ctx."""
+    B, Tc = tok_y.shape
+    k = jnp.arange(Tc, dtype=_I32)[None, :]
+    active = k < n_cmds[:, None]
+    is_lit = active & (tok_y == TOK_LIT)
+    is_rep = active & (tok_y == TOK_REP)
+    is_dict = active & (tok_y == TOK_DICT)
+    is_match = is_rep | is_dict
+
+    m_rank = jnp.cumsum(is_match.astype(_I32), axis=1) - is_match.astype(_I32)
+    len_sym = jnp.where(is_match, gather_sorted(len_y, m_rank), 0)
+    esc = is_match & (len_sym == 7)
+    lex_rank = jnp.cumsum(esc.astype(_I32), axis=1) - esc.astype(_I32)
+    lex_vals = (lex_hi << 4) | lex_lo
+    ext = jnp.where(esc, gather_sorted(lex_vals, lex_rank), 0)
+    lv = jnp.where(esc, 7 + ext, len_sym)
+    lc = jnp.clip(lv, 0, 3)
+
+    d_rank = jnp.cumsum(is_dict.astype(_I32), axis=1) - is_dict.astype(_I32)
+    lc_dict = compact_by_rank(lc, d_rank, is_dict, dst_width)
+    return is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict
+
+
+def _bits_fetch(bit_bytes, offs, width):
+    """MSB-first field of `width` bits at bit offset `offs` (both [B, Tc])."""
+    byte0 = offs >> 3
+    bs = [
+        gather_sorted(bit_bytes, jnp.clip(byte0 + i, 0, bit_bytes.shape[1] - 1))
+        for i in range(4)
+    ]
+    word = (
+        (bs[0].astype(_U32) << 24)
+        | (bs[1].astype(_U32) << 16)
+        | (bs[2].astype(_U32) << 8)
+        | bs[3].astype(_U32)
+    )
+    sh = (offs & 7).astype(_U32)
+    w = jnp.clip(width, 0, 24).astype(_U32)
+    v = ((word << sh) & jnp.asarray(0xFFFFFFFF, _U32)) >> (
+        jnp.asarray(32, _U32) - jnp.maximum(w, 1)
+    )
+    return jnp.where(width > 0, v.astype(_I32), 0)
+
+
+@jax.jit
+def assemble_post_dst(
+    is_lit, is_rep, is_dict, lv, m_rank, d_rank,
+    lit_hi, lit_lo, dst_hi, dst_lo, bit_bytes, n_cmds,
+):
+    """Stage B: distances, rep resolution, literals, raw bits ->
+    (op_len [Tc, B], op_val [Tc, B]) for lz_expand_parallel."""
+    B, Tc = is_lit.shape
+    active = is_lit | is_rep | is_dict
+
+    slot_d = (dst_hi << 3) | dst_lo  # dict-aligned
+    slot = jnp.where(is_dict, gather_sorted(slot_d, d_rank), 0)
+    big = slot >= 4
+    ab = jnp.where(is_dict & big, (slot >> 1) - 1, 0)
+
+    widths = jnp.where(is_rep, 2, 0) + ab
+    offs = jnp.cumsum(widths, axis=1) - widths
+    v = _bits_fetch(bit_bytes, offs, widths)
+    rep_idx = jnp.where(is_rep, v, 0)
+    extra = jnp.where(is_dict, v, 0)
+
+    dv = jnp.where(big, ((2 + (slot & 1)) << ab) + extra, slot)
+    delta_dict = jnp.where(is_dict, dv + 1, 0)
+
+    # rep resolution: r-th most recent dict distance (virtual history
+    # 1,2,3,4 before the first dict command)
+    n_dict = jnp.sum(is_dict.astype(_I32), axis=1, keepdims=True)
+    D = compact_by_rank(delta_dict, d_rank, is_dict, Tc)
+    j = d_rank - 1 - rep_idx
+    delta_rep = jnp.where(
+        j >= 0, gather_sorted(D, jnp.maximum(j, 0)), -j
+    )
+    delta = jnp.where(is_rep, delta_rep, delta_dict)
+
+    lit_rank = jnp.cumsum(is_lit.astype(_I32), axis=1) - is_lit.astype(_I32)
+    lit_vals = (lit_hi << 4) | lit_lo
+    byte = jnp.where(is_lit, gather_sorted(lit_vals, lit_rank), 0)
+
+    mmin = (
+        2
+        + (delta > 0xFF).astype(_I32)
+        + (delta > 0xFFF).astype(_I32)
+        + (delta > 0xFFFFF).astype(_I32)
+    )
+    is_match = is_rep | is_dict
+    op_len = jnp.where(active, jnp.where(is_match, lv + mmin, 0), -1)
+    op_val = jnp.where(is_match, delta, byte)
+    return op_len.T, op_val.T
+
+
+# ------------------------------------------------------------- driver
+def _pack_words(chunks, min_words=4):
+    """Pack per-block byte strings into a [B, W] u32le array."""
+    B = len(chunks)
+    wmax = max(min_words, (max((len(c) for c in chunks), default=0) + 3) // 4 + 2)
+    arr = np.zeros((B, 4 * wmax), np.uint8)
+    for b, c in enumerate(chunks):
+        arr[b, : len(c)] = np.frombuffer(c, np.uint8)
+    a4 = arr.reshape(B, wmax, 4).astype(np.uint32)
+    return a4[:, :, 0] | (a4[:, :, 1] << 8) | (a4[:, :, 2] << 16) | (a4[:, :, 3] << 24)
+
+
+def decode_wide_blocks(payloads, block_size: int, total_len: int) -> bytes:
+    """Decode wide-profile block payloads (host orchestration)."""
+    from ..format.wide import HDR_BYTES, N_PLANES
+    from .expand_ops import lz_expand_parallel
+
+    B = len(payloads)
+    counts = np.zeros((B, N_PLANES), np.int64)
+    plane_streams = [[] for _ in range(N_PLANES)]
+    bit_chunks = []
+    for b, p in enumerate(payloads):
+        off = 0
+        sizes = []
+        for i in range(N_PLANES):
+            counts[b, i] = int.from_bytes(p[off : off + 4], "big")
+            sizes.append(int.from_bytes(p[off + 4 : off + 8], "big"))
+            off += 8
+        bits_len = int.from_bytes(p[off : off + 4], "big")
+        off += 4
+        for i in range(N_PLANES):
+            plane_streams[i].append(p[off : off + sizes[i]])
+            off += sizes[i]
+        bit_chunks.append(p[off : off + bits_len])
+
+    from ..format.wide import padded_steps
+
+    n_sym = [jnp.asarray(counts[:, i], np.int32) for i in range(N_PLANES)]
+    words = [jnp.asarray(_pack_words(plane_streams[i], PLANES[i].lanes + 2)) for i in range(N_PLANES)]
+    steps_of = lambda i: padded_steps(int(counts[:, i].max()), PLANES[i].lanes)
+    padw = lambda i: steps_of(i) * PLANES[i].lanes
+    zero_ctx = lambda i: jnp.zeros((B, padw(i)), _I32)
+
+    tok_y, = plane_scan(words[0], n_sym[0], zero_ctx(0), 0, steps_of(0))
+    lit_hi, lit_lo = plane_scan(words[1], n_sym[1], zero_ctx(1), 1, steps_of(1))
+    len_y, = plane_scan(words[2], n_sym[2], zero_ctx(2), 2, steps_of(2))
+    lex_hi, lex_lo = plane_scan(words[3], n_sym[3], zero_ctx(3), 3, steps_of(3))
+
+    dst_w = padw(4)
+    is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
+        tok_y, n_sym[0], len_y, lex_hi, lex_lo, dst_w
+    )
+    dst_hi, dst_lo = plane_scan(words[4], n_sym[4], lc_dict, 4, steps_of(4))
+
+    bit_bytes = jnp.asarray(
+        np.stack(
+            [
+                np.pad(np.frombuffer(c, np.uint8), (0, max(len(x) for x in bit_chunks) + 4 - len(c)))
+                for c in bit_chunks
+            ]
+        ).astype(np.int32)
+    )
+    op_len, op_val = assemble_post_dst(
+        is_lit, is_rep, is_dict, lv, m_rank, d_rank,
+        lit_hi, lit_lo, dst_hi, dst_lo, bit_bytes, n_sym[0],
+    )
+    out, produced = lz_expand_parallel(op_len, op_val, block_size)
+    out_np = np.asarray(out).reshape(-1)
+    return out_np[: B * block_size].tobytes()[:total_len]

@@ -40,6 +40,7 @@ VERSION = 1
 _HDR = struct.Struct(">4sBBBBIQI")
 _BLK = struct.Struct(">III")
 FLAG_CRC32 = 0x01  # u32be CRC of the uncompressed data follows the header
+FLAG_WIDE = 0x02  # blocks use the wide profile (format/wide.py)
 
 DEFAULT_BLOCK_SIZE = 1 << 17  # 128 KB: 5 frames/block at hist_bits 17
 
@@ -55,6 +56,7 @@ class ContainerInfo:
     num_cmds: list
     payload_off: int
     crc32: int | None = None
+    wide: bool = False
 
 
 def hist_bits_for_block(block_size: int) -> int:
@@ -67,8 +69,14 @@ def encode_container(
     block_size: int = DEFAULT_BLOCK_SIZE,
     parser: str = "greedy",
     engine: str = "auto",
+    profile: str = "v1",
 ) -> bytes:
-    """Block encode. engine: auto (native if built) | native | serial | tpu."""
+    """Block encode. engine: auto (native if built) | native | serial | tpu.
+
+    profile="wide" encodes blocks in the lane-parallel wide profile
+    (format/wide.py): device parse + host plane packing; decodes with the
+    batched wide device decoder.
+    """
     hist_bits = hist_bits_for_block(block_size)
     num_blocks = (len(data) + block_size - 1) // block_size if data else 0
 
@@ -78,7 +86,28 @@ def encode_container(
 
         use_native = native.available()
 
-    if engine == "tpu" and num_blocks:
+    flags = FLAG_CRC32
+    if profile == "wide":
+        assert block_size <= 16384, "wide profile caps blocks at 16 KiB"
+        flags |= FLAG_WIDE
+        from ..format.wide import encode_wide_blocks
+        from ..ops.encode_ops import parse_blocks_device
+
+        if num_blocks:
+            op_len, op_val, op_rep = parse_blocks_device(
+                data, block_size, hist_bits, parser
+            )
+            payloads = encode_wide_blocks(op_len, op_val, op_rep)
+            ncmds = [
+                int(np.argmax(op_len[:, b] < 0))
+                if (op_len[:, b] < 0).any()
+                else op_len.shape[0]
+                for b in range(num_blocks)
+            ]
+            meta = [(len(p), 0, c) for p, c in zip(payloads, ncmds)]
+        else:
+            payloads, meta = [], []
+    elif engine == "tpu" and num_blocks:
         from ..ops.encode_ops import encode_blocks_tpu
 
         payloads, reads, cmds = encode_blocks_tpu(data, block_size, hist_bits, parser=parser)
@@ -107,7 +136,7 @@ def encode_container(
             VERSION,
             hist_bits,
             frame_bits_for(hist_bits),
-            FLAG_CRC32,
+            flags,
             block_size,
             len(data),
             num_blocks,
@@ -151,6 +180,7 @@ def parse_container(data: bytes) -> ContainerInfo:
         num_cmds=cmds,
         payload_off=off,
         crc32=crc,
+        wide=bool(flags & FLAG_WIDE),
     )
 
 
@@ -196,6 +226,18 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
     info = parse_container(data)
     if not info.comp_sizes:
         return _verified(b"", info)
+
+    if info.wide:
+        from ..ops.wide_decode import decode_wide_blocks
+
+        payloads = []
+        off = info.payload_off
+        for cs in info.comp_sizes:
+            payloads.append(data[off : off + cs])
+            off += cs
+        return _verified(
+            decode_wide_blocks(payloads, info.block_size, info.total_len), info
+        )
 
     if engine == "native":
         from .. import native
