@@ -187,39 +187,29 @@ def _rans_encode_plane(spec: PlaneSpec, syms, rows, n_sym, B):
 
     # backward pass per lane
     x = np.full((B, L), 1 << 16, np.uint64)
-    pair_hi = [[None] * spec.reads for _ in range(steps)]
-    pair_lo = [[None] * spec.reads for _ in range(steps)]
-    pair_m = [[None] * spec.reads for _ in range(steps)]
+    R = spec.reads
+    pair_all = np.zeros((steps * R, B, L), np.uint16)
+    mask_all = np.zeros((steps * R, B, L), bool)
     for t in range(steps - 1, -1, -1):
-        for r in range(spec.reads - 1, -1, -1):
+        for r in range(R - 1, -1, -1):
             active = actives[t]
             fq = freqs[r][t].astype(np.uint64)
             st = starts[r][t].astype(np.uint64)
             over = active & (x >= (fq << 18))
-            pair = (x & 0xFFFF).astype(np.uint16)
+            pair_all[t * R + r] = (x & 0xFFFF).astype(np.uint16)
+            mask_all[t * R + r] = over
             x1 = np.where(over, x >> 16, x)
             x2 = ((x1 // fq) << CDF_SCALE_BITS) + (x1 % fq) + st
             x = np.where(active, x2, x)
-            pair_hi[t][r] = (pair >> 8).astype(np.uint8)
-            pair_lo[t][r] = (pair & 0xFF).astype(np.uint8)
-            pair_m[t][r] = over
 
+    # assemble per block in decode order (t, r, lane): big-endian pairs
+    pa = pair_all.transpose(1, 0, 2).reshape(B, -1)  # [B, steps*R*L]
+    ma = mask_all.transpose(1, 0, 2).reshape(B, -1)
+    seeds = x.astype("<u4").view(np.uint8).reshape(B, 4 * L)
     streams = []
     for b in range(B):
-        out = bytearray()
-        for lane in range(L):
-            out += int(x[b, lane]).to_bytes(4, "little")
-        for t in range(steps):
-            for r in range(spec.reads):
-                m = pair_m[t][r][b]
-                if m.any():
-                    hi = pair_hi[t][r][b][m]
-                    lo = pair_lo[t][r][b][m]
-                    pairs = np.empty(2 * len(hi), np.uint8)
-                    pairs[0::2] = hi
-                    pairs[1::2] = lo
-                    out += pairs.tobytes()
-        streams.append(bytes(out))
+        sel = pa[b][ma[b]].astype(">u2")
+        streams.append(seeds[b].tobytes() + sel.tobytes())
     return streams
 
 
