@@ -615,4 +615,66 @@ int nlzmx_decode_blocks(const unsigned char* src, long long stride, const long l
   return err.load();
 }
 
+// Bound literal-ancestor chain depth by lifting deep matches: any byte p
+// inside a match command C at distance dC satisfies out[p] == out[p-dC],
+// so while a match's source span sits inside one earlier command, adding
+// that command's distance is an equally valid encoding whose ancestors
+// sit one command earlier. Bounded depth caps the TPU decoder's
+// pointer-doubling rounds. op arrays are [T, B] row-major; threaded
+// across blocks.
+void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, int cap,
+                     int threads) {
+  if (threads < 1) threads = 1;
+  std::vector<std::thread> pool;
+  std::atomic<long long> next{0};
+  auto work = [&]() {
+    std::vector<int> depth((size_t)N), cmd_at((size_t)N);
+    for (;;) {
+      long long b = next.fetch_add(1);
+      if (b >= B) return;
+      std::fill(depth.begin(), depth.end(), 0);
+      std::fill(cmd_at.begin(), cmd_at.end(), 0);
+      long long pos = 0;
+      for (long long k = 0; k < T; k++) {
+        int l = op_len[k * B + b];
+        if (l < 0) break;
+        if (l == 0) {
+          if (pos < N) { depth[pos] = 0; cmd_at[pos] = (int)k; }
+          pos++;
+          continue;
+        }
+        int d = op_val[k * B + b];
+        // lifting is only sound for non-overlapping matches (l <= d):
+        // an overlap's tail references the match itself, outside the
+        // verified source command. Overlaps are depth-collapsed by the
+        // decoder's modular parents anyway.
+        for (int it = 0; it < 64 && l <= d; it++) {
+          long long src = pos - d;
+          if (src < 0) break;
+          int span = l;
+          int dmax = 0;
+          for (int i = 0; i < span; i++) dmax = depth[src + i] > dmax ? depth[src + i] : dmax;
+          if (dmax + 1 <= cap) break;
+          int c0 = cmd_at[src];
+          if (cmd_at[src + span - 1] != c0 || op_len[(long long)c0 * B + b] <= 0) break;
+          long long d2 = (long long)d + op_val[(long long)c0 * B + b];
+          int mmin2 = 2 + (d2 > 0xFF) + (d2 > 0xFFF) + (d2 > 0xFFFFF);
+          if (d2 > pos || l < mmin2) break;
+          d = (int)d2;
+        }
+        op_val[k * B + b] = d;
+        long long src = pos - d;
+        int span = d < l ? d : l;
+        for (int i = 0; i < l && pos + i < N; i++) {
+          depth[pos + i] = depth[src + (i % span)] + 1;
+          cmd_at[pos + i] = (int)k;
+        }
+        pos += l;
+      }
+    }
+  };
+  for (int t = 0; t < threads; t++) pool.emplace_back(work);
+  for (auto& t : pool) t.join();
+}
+
 }  // extern "C"

@@ -56,6 +56,11 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_expand_ops.restype = c_i64
     lib.nlzmx_expand_ops.argtypes = [c_i32p, c_i32p, c_i64, c_u8p, c_i64]
 
+    lib.nlzmx_lift_deep.restype = None
+    lib.nlzmx_lift_deep.argtypes = [
+        c_i32p, c_i32p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+
     lib.nlzmx_encode_blocks.restype = ctypes.c_int
     lib.nlzmx_encode_blocks.argtypes = [
         c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -185,3 +190,17 @@ def decode_blocks(payloads: list, hist_bits: int, block_size: int, total_len: in
     if rc != 0:
         raise RuntimeError("native block decode failed")
     return dst.tobytes()[:total_len]
+
+
+def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int = 15, threads: int = 0) -> None:
+    """Bound literal-ancestor depth in [T, B] command arrays (in place)."""
+    assert op_len.dtype == np.int32 and op_val.dtype == np.int32
+    assert op_len.flags.c_contiguous and op_val.flags.c_contiguous
+    T, B = op_len.shape
+    if threads <= 0:
+        threads = min(16, os.cpu_count() or 1)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    load().nlzmx_lift_deep(
+        op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p),
+        T, B, block_size, cap, threads,
+    )

@@ -737,6 +737,67 @@ def _blocks_arrays(data: bytes, block_size: int):
     return arr, n_valid
 
 
+def lift_deep_matches(op_len, op_val, cap: int = 15):
+    """Bound every byte's literal-ancestor depth by rewriting deep matches.
+
+    Any byte p inside a match command C at distance d_C satisfies
+    out[p] == out[p - d_C] (that is the decode semantics, including
+    self-overlap). So when a match's source span lies entirely inside one
+    earlier command, adding that command's distance yields another valid
+    encoding of the same bytes whose ancestors sit one command earlier.
+    Matches whose chain depth would exceed `cap` are lifted until the
+    depth fits (or the span straddles a command boundary). Bounded depth
+    means the decoder's pointer-doubling expansion converges in
+    ceil(log2(cap))+1 rounds - the decoder itself is unchanged.
+
+    op_len/op_val: [T, B] numpy command arrays (modified in place).
+    """
+    T, B = op_len.shape
+    for b in range(B):
+        col = op_len[:, b]
+        n = int(np.argmax(col < 0)) if (col < 0).any() else T
+        if n == 0:
+            continue
+        lens = np.where(col[:n] == 0, 1, np.maximum(col[:n], 0))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        N = int(ends[-1])
+        depth = np.zeros(N, np.int32)
+        cmd_at = np.zeros(N, np.int32)  # command index covering each byte
+        for k in range(n):
+            m, l = int(starts[k]), int(lens[k])
+            if col[k] <= 0:
+                cmd_at[m : m + l] = k
+                continue
+            d = int(op_val[k, b])
+            # lift while too deep and the source span sits in one command;
+            # only sound for non-overlapping matches (l <= d): an
+            # overlap's tail references the match itself, outside the
+            # verified source command (overlaps are depth-collapsed by
+            # the decoder's modular parents anyway)
+            while l <= d:
+                src = m - d
+                dd = depth[src : src + l]
+                if dd.max() + 1 <= cap:
+                    break
+                c0 = cmd_at[src]
+                if cmd_at[src + l - 1] != c0 or col[c0] <= 0:
+                    break
+                d2 = d + int(op_val[c0, b])
+                mmin2 = 2 + (d2 > 0xFF) + (d2 > 0xFFF) + (d2 > 0xFFFFF)
+                if d2 > m or l < mmin2:
+                    break
+                d = d2
+            op_val[k, b] = d
+            src = m - d
+            span = min(d, l)
+            dd = depth[src : src + span] + 1
+            reps = -(-l // span)
+            depth[m : m + l] = np.tile(dd, reps)[:l]
+            cmd_at[m : m + l] = k
+    return op_len, op_val
+
+
 def parse_blocks_device(data: bytes, block_size: int, hist_bits: int, parser: str = "optimal"):
     """Device parse only: blocks -> command arrays.
 
@@ -765,8 +826,16 @@ def parse_blocks_device(data: bytes, block_size: int, hist_bits: int, parser: st
     else:
         delta, mlen = find_matches(dj, nv, reach)
         op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
-    op_rep = repify(op_len, op_val)
-    return np.asarray(op_len), np.asarray(op_val), np.asarray(op_rep)
+    op_len_h = np.ascontiguousarray(np.asarray(op_len), np.int32)
+    op_val_h = np.ascontiguousarray(np.asarray(op_val), np.int32)
+    from .. import native
+
+    if native.available():
+        native.lift_deep(op_len_h, op_val_h, block_size)
+    else:
+        lift_deep_matches(op_len_h, op_val_h)
+    op_rep = repify(jnp.asarray(op_len_h), jnp.asarray(op_val_h))
+    return op_len_h, op_val_h, np.asarray(op_rep)
 
 
 def encode_blocks_tpu(
