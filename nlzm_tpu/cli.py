@@ -13,6 +13,8 @@ Flags:
     -parser:name    greedy | optimal (default optimal)
     -blocks[:size]  use the NLZP block-parallel container (TPU decode path);
                     optional uncompressed block size in bytes
+    -profile:name   block profile: v1 (NLZM-compatible frames, default)
+                    | wide (lane-parallel TPU-first planes)
     -engine:name    engine: auto | serial | native | tpu
     -v              verbose: memory budget + per-stage timing report
 """
@@ -40,6 +42,7 @@ def main(argv=None) -> int:
     window_bits = DEFAULT_HIST_BITS
     parser = "optimal"
     block_size = 0  # 0 => single-stream NLZM format
+    profile = "v1"
     engine = "auto"
     verbose = False
 
@@ -58,6 +61,12 @@ def main(argv=None) -> int:
             block_size = DEFAULT_BLOCK_SIZE
         elif arg.startswith("blocks:"):
             block_size = int(arg[7:])
+        elif arg.startswith("profile:"):
+            profile = arg[8:]
+            if profile == "wide" and not block_size:
+                from .parallel.blocks import DEFAULT_BLOCK_SIZE
+
+                block_size = min(DEFAULT_BLOCK_SIZE, 16384)
         elif arg.startswith("engine:"):
             engine = arg[7:]
         else:
@@ -96,7 +105,7 @@ def main(argv=None) -> int:
             if block_size:
                 from .parallel.blocks import encode_container
 
-                out = encode_container(data, block_size=block_size, parser=parser, engine=engine)
+                out = encode_container(data, block_size=block_size, parser=parser, engine=engine, profile=profile)
             else:
                 from .codec import encode_bytes
 
