@@ -26,7 +26,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BLOCK_SIZE = int(os.environ.get("NLZM_BENCH_BLOCK", str(16384)))
+BLOCK_SIZE = int(os.environ.get("NLZM_BENCH_BLOCK", str(32768)))
 CORPUS_MB = int(os.environ.get("NLZM_BENCH_MB", "8"))
 
 

@@ -66,7 +66,7 @@ def main(argv=None) -> int:
             if profile == "wide" and not block_size:
                 from .parallel.blocks import DEFAULT_BLOCK_SIZE
 
-                block_size = min(DEFAULT_BLOCK_SIZE, 16384)
+                block_size = min(DEFAULT_BLOCK_SIZE, 32768)
         elif arg.startswith("engine:"):
             engine = arg[7:]
         else:

@@ -372,16 +372,23 @@ def decode_wide_staged(staged, block_size: int):
     n_sym, words, steps = staged["n_sym"], staged["words"], staged["steps"]
     padw = lambda i: steps[i] * PLANES[i].lanes
     zero_ctx = lambda i: jnp.zeros((B, padw(i)), _I32)
+    # plane pad can exceed the 15-bit packed-sort budget by one chunk;
+    # symbol counts never do (every command produces >= 1 byte)
+    cap15 = lambda a: a[:, : min(a.shape[1], 1 << 15)]
 
     tok_y, = plane_scan(words[0], n_sym[0], zero_ctx(0), 0, steps[0])
     lit_hi, lit_lo = plane_scan(words[1], n_sym[1], zero_ctx(1), 1, steps[1])
     len_y, = plane_scan(words[2], n_sym[2], zero_ctx(2), 2, steps[2])
     lex_hi, lex_lo = plane_scan(words[3], n_sym[3], zero_ctx(3), 3, steps[3])
+    tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
+        cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
+    )
 
     is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
         tok_y, n_sym[0], len_y, lex_hi, lex_lo, padw(4)
     )
     dst_hi, dst_lo = plane_scan(words[4], n_sym[4], lc_dict, 4, steps[4])
+    dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
 
     op_len, op_val = assemble_post_dst(
         is_lit, is_rep, is_dict, lv, m_rank, d_rank,

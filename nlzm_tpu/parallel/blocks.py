@@ -88,7 +88,8 @@ def encode_container(
 
     flags = FLAG_CRC32
     if profile == "wide":
-        assert block_size <= 16384, "wide profile caps blocks at 16 KiB"
+        # the packed-sort primitives carry 15-bit positions/payloads
+        assert block_size <= 32768, "wide profile caps blocks at 32 KiB"
         flags |= FLAG_WIDE
         from ..format.wide import encode_wide_blocks
         from ..ops.encode_ops import parse_blocks_device
