@@ -354,6 +354,109 @@ static void encode_frames_optimal(const u8* src, i64 n, int hist_bits, std::vect
   }
 }
 
+// Optimal parse of one block, exporting the command list instead of frames.
+// The model still adapts through the same emit path (costs match the
+// archive encoder); the serialized frames are discarded. Commands:
+// (0, byte) literal | (len, delta) match (rep distances resolved).
+static long long parse_ops_optimal(const u8* src, i64 n, int hist_bits,
+                                   int* out_len, int* out_val, i64 cap) {
+  const u32 window = 1u << hist_bits;
+  const int frame_bits = frame_bits_for(hist_bits);
+  const u32 chunk_size = chunk_size_for(frame_bits);
+  const u32 chunk_feed = chunk_size + kMatchMax + 1;
+  auto clampi = [](int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); };
+
+  View d;
+  d.buf = src;
+  d.abs_base = 0;
+  d.hist_pos = 0;
+  d.mask = window - 1;
+
+  Model m;
+  m.init();
+  FrameSink frame;
+  std::vector<u8> scratch;
+
+  HtFinder ht2, ht3;
+  BtFinder bt4;
+  RkFinder rk;
+  ht2.setup(12, 1, hist_bits);
+  ht3.setup(12 + clampi(hist_bits, 15, 17) - 15, 2, hist_bits);
+  bt4.setup(13 + clampi(hist_bits, 16, 20) - 16, hist_bits);
+  rk.setup(15 + clampi(hist_bits, 16, 22) - 16, hist_bits);
+
+  auto parser = std::make_unique<Parser>();
+  i64 n_ops = 0;
+
+  i64 chunk_start = 0;
+  while (chunk_start < n) {
+    u32 chunk_avail = u32(n - chunk_start < i64(chunk_feed) ? n - chunk_start : chunk_feed);
+    u32 p_end = chunk_avail < chunk_size ? chunk_avail : chunk_size;
+
+    if (d.hist_pos >= 2 * window) {
+      d.hist_pos -= window;
+      d.abs_base += window;
+      ht2.shift(window);
+      ht3.shift(window);
+      bt4.shift(window);
+      rk.shift(window);
+    }
+
+    u32 p = 0, parse_end = 0, parse_start = 0;
+    while (p < p_end) {
+      if (p == parse_end) {
+        d.look_len = chunk_avail - p;
+        u32 plen = parser->run(m, d, ht2, ht3, bt4, rk, p_end - p);
+        u32 cur = plen;
+        u32 nxt = kEmpty;
+        while (cur != kEmpty) {
+          u32 prev = parser->cell[cur].link;
+          parser->cell[cur].link = nxt;
+          nxt = cur;
+          cur = prev;
+        }
+        parse_start = p;
+        parse_end = p + plen;
+      }
+
+      u32 local = p - parse_start;
+      u32 to = parser->cell[local].link;
+      const ParseCell& target = parser->cell[to];
+      if (n_ops >= cap) return -1;
+      if (target.cmd == 0) {
+        int y = d.at(d.hist_pos);
+        emit_literal(frame, m, y);
+        out_len[n_ops] = 0;
+        out_val[n_ops] = y;
+        n_ops++;
+        d.hist_pos++;
+        p++;
+      } else if (target.cmd == 1) {
+        emit_match(frame, m, target.delta, target.len);
+        m.rep_add(target.delta);
+        out_len[n_ops] = (int)target.len;
+        out_val[n_ops] = (int)target.delta;
+        n_ops++;
+        d.hist_pos += target.len;
+        p += target.len;
+      } else {
+        u32 delta = m.rep[target.delta];
+        emit_rep(frame, m, target.delta, target.len);
+        m.rep_add(delta);
+        out_len[n_ops] = (int)target.len;
+        out_val[n_ops] = (int)delta;
+        n_ops++;
+        d.hist_pos += target.len;
+        p += target.len;
+      }
+    }
+    scratch.clear();
+    frame.serialize(scratch);
+    chunk_start += p_end;
+  }
+  return n_ops;
+}
+
 // Greedy hash-4 encode (fast path; mirrors the Python greedy engine).
 static void encode_frames_greedy(const u8* src, i64 n, int hist_bits, std::vector<u8>& out,
                                  EncodeStats& stats) {
@@ -613,6 +716,70 @@ int nlzmx_decode_blocks(const unsigned char* src, long long stride, const long l
   for (int t = 0; t < threads; t++) pool.emplace_back(work);
   for (auto& t : pool) t.join();
   return err.load();
+}
+
+// Threaded optimal parse of consecutive blocks into [nblocks, T_cap]
+// row-major command arrays (-1 length marks past-end). Returns 0 on
+// success, 1 on capacity error.
+int nlzmx_parse_blocks(const unsigned char* src, long long n, long long block_size,
+                       int hist_bits, int threads, int* out_len, int* out_val,
+                       long long t_cap) {
+  long long nblocks = (n + block_size - 1) / block_size;
+  if (threads < 1) threads = 1;
+  std::vector<std::thread> pool;
+  std::atomic<long long> next{0};
+  std::atomic<int> err{0};
+  auto work = [&]() {
+    for (;;) {
+      long long b = next.fetch_add(1);
+      if (b >= nblocks) return;
+      long long off = b * block_size;
+      long long len = n - off < block_size ? n - off : block_size;
+      int* ol = out_len + b * t_cap;
+      int* ov = out_val + b * t_cap;
+      long long got = parse_ops_optimal(src + off, len, hist_bits, ol, ov, t_cap);
+      if (got < 0) {
+        err.store(1);
+        return;
+      }
+      for (long long k = got; k < t_cap; k++) ol[k] = -1;
+    }
+  };
+  for (int t = 0; t < threads; t++) pool.emplace_back(work);
+  for (auto& t : pool) t.join();
+  return err.load();
+}
+
+// Classify matches against the wide profile's last-4-dicts rep rule
+// (virtual initial history 1,2,3,4; a present distance becomes rep and
+// does not enter the history). op arrays [T, B] row-major; out_rep gets
+// -1 for literal/dict, else the rep slot index.
+void nlzmx_classify_reps(const int* op_len, const int* op_val, long long T, long long B,
+                         int* out_rep) {
+  for (long long b = 0; b < B; b++) {
+    int tab[4] = {1, 2, 3, 4};
+    for (long long k = 0; k < T; k++) {
+      int l = op_len[k * B + b];
+      out_rep[k * B + b] = -1;
+      if (l < 0) break;
+      if (l == 0) continue;
+      int d = op_val[k * B + b];
+      int hit = -1;
+      for (int i = 0; i < 4; i++)
+        if (tab[i] == d) {
+          hit = i;
+          break;
+        }
+      if (hit >= 0) {
+        out_rep[k * B + b] = hit;
+      } else {
+        tab[3] = tab[2];
+        tab[2] = tab[1];
+        tab[1] = tab[0];
+        tab[0] = d;
+      }
+    }
+  }
 }
 
 // Bound literal-ancestor chain depth by lifting deep matches: any byte p

@@ -56,6 +56,14 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_expand_ops.restype = c_i64
     lib.nlzmx_expand_ops.argtypes = [c_i32p, c_i32p, c_i64, c_u8p, c_i64]
 
+    lib.nlzmx_parse_blocks.restype = ctypes.c_int
+    lib.nlzmx_parse_blocks.argtypes = [
+        c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, c_i32p, c_i32p, c_i64,
+    ]
+
+    lib.nlzmx_classify_reps.restype = None
+    lib.nlzmx_classify_reps.argtypes = [c_i32p, c_i32p, c_i64, c_i64, c_i32p]
+
     lib.nlzmx_lift_deep.restype = None
     lib.nlzmx_lift_deep.argtypes = [
         c_i32p, c_i32p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -204,3 +212,39 @@ def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int 
         op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p),
         T, B, block_size, cap, threads,
     )
+
+
+def parse_blocks(data: bytes, block_size: int, hist_bits: int, threads: int = 0):
+    """Native optimal parse -> ([T, B] op_len, op_val) command arrays."""
+    lib = load()
+    n = len(data)
+    nblocks = (n + block_size - 1) // block_size
+    if nblocks == 0:
+        return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.int32)
+    threads = threads or min(os.cpu_count() or 1, nblocks)
+    t_cap = block_size + 8
+    src = np.frombuffer(data, dtype=np.uint8)
+    ol = np.empty((nblocks, t_cap), np.int32)
+    ov = np.zeros((nblocks, t_cap), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    rc = lib.nlzmx_parse_blocks(
+        _u8p(src), n, block_size, hist_bits, threads,
+        ol.ctypes.data_as(i32p), ov.ctypes.data_as(i32p), t_cap,
+    )
+    if rc != 0:
+        raise RuntimeError("native parse failed")
+    return np.ascontiguousarray(ol.T), np.ascontiguousarray(ov.T)
+
+
+def classify_reps(op_len: np.ndarray, op_val: np.ndarray) -> np.ndarray:
+    """Wide-profile rep classification of [T, B] command arrays."""
+    assert op_len.dtype == np.int32 and op_len.flags.c_contiguous
+    assert op_val.dtype == np.int32 and op_val.flags.c_contiguous
+    T, B = op_len.shape
+    out = np.empty((T, B), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    load().nlzmx_classify_reps(
+        op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p), T, B,
+        out.ctypes.data_as(i32p),
+    )
+    return out

@@ -91,13 +91,23 @@ def encode_container(
         # the packed-sort primitives carry 15-bit positions/payloads
         assert block_size <= 32768, "wide profile caps blocks at 32 KiB"
         flags |= FLAG_WIDE
+        from .. import native
         from ..format.wide import encode_wide_blocks
-        from ..ops.encode_ops import parse_blocks_device
 
         if num_blocks:
-            op_len, op_val, op_rep = parse_blocks_device(
-                data, block_size, hist_bits, parser
-            )
+            if engine != "tpu" and native.available() and parser == "optimal":
+                # native forward-graph parse (full matcher suite, adaptive
+                # costs) feeds the wide planes; ~15x faster than the
+                # device DP and a few % better ratio
+                op_len, op_val = native.parse_blocks(data, block_size, hist_bits)
+                native.lift_deep(op_len, op_val, block_size)
+                op_rep = native.classify_reps(op_len, op_val)
+            else:
+                from ..ops.encode_ops import parse_blocks_device
+
+                op_len, op_val, op_rep = parse_blocks_device(
+                    data, block_size, hist_bits, parser
+                )
             payloads = encode_wide_blocks(op_len, op_val, op_rep)
             ncmds = [
                 int(np.argmax(op_len[:, b] < 0))
