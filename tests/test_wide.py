@@ -91,3 +91,14 @@ def test_wide_container_text(corpus_text):
 def test_wide_empty():
     c = encode_container(b"", profile="wide", block_size=4096)
     assert decode_container(c) == b""
+
+
+def test_wide_corruption_detected(corpus_text):
+    from nlzm_tpu.parallel.blocks import IntegrityError, parse_container
+
+    data = corpus_text(20000)
+    c = bytearray(encode_container(data, block_size=4096, parser="optimal", profile="wide"))
+    info = parse_container(bytes(c))
+    c[info.payload_off + 200] ^= 0xFF  # flip a payload byte
+    with pytest.raises(IntegrityError):
+        decode_container(bytes(c))
