@@ -59,7 +59,7 @@ def main() -> None:
     import numpy as np
 
     from nlzm_tpu.ops.wide_decode import decode_wide_staged, prepare_wide
-    from nlzm_tpu.parallel.blocks import encode_container, parse_container
+    from nlzm_tpu.parallel.blocks import block_payloads, encode_container, parse_container
 
     data = build_corpus(CORPUS_MB * 1_000_000)
     # cache key: corpus + the format-defining module (not the decoder)
@@ -79,12 +79,7 @@ def main() -> None:
         cache.write_bytes(container)
 
     info = parse_container(container)
-    payloads = []
-    off = info.payload_off
-    for cs in info.comp_sizes:
-        payloads.append(container[off : off + cs])
-        off += cs
-    staged = prepare_wide(payloads)
+    staged = prepare_wide(block_payloads(container, info))
 
     # warmup/compile + full correctness check (untimed)
     out, produced = decode_wide_staged(staged, info.block_size)

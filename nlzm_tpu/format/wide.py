@@ -17,9 +17,10 @@ TPU-first redesign of the same command stream:
   at most 2L bytes per read instead of per-lane worst-case windows.
   The rANS math is identical to the reference's (NLZM.cpp:444-488):
   14-bit CDFs, 16-bit renorm, 4-byte little-endian lane seeds.
-- **Chunked semi-adaptive CDFs.** Tables are static within a chunk of 32
-  steps and rebuilt from realized symbol counts at chunk boundaries
-  (carry halved each boundary). Encoder and decoder run the same
+- **Chunked semi-adaptive CDFs.** Tables are static within a chunk
+  (warmup schedule 2/2/4/8 steps, then every CHUNK_STEPS=16) and rebuilt
+  from realized symbol counts at chunk boundaries (carry halved each
+  boundary). Encoder and decoder run the same
   deterministic rebuild, so no tables are transmitted. This trades the
   reference's per-symbol adaptation for lane-parallel decodability.
 - **Parallel rep semantics.** `rep idx r` references the r-th most recent

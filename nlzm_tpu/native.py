@@ -241,7 +241,7 @@ def classify_reps(op_len: np.ndarray, op_val: np.ndarray) -> np.ndarray:
     assert op_len.dtype == np.int32 and op_len.flags.c_contiguous
     assert op_val.dtype == np.int32 and op_val.flags.c_contiguous
     T, B = op_len.shape
-    out = np.empty((T, B), np.int32)
+    out = np.full((T, B), -1, np.int32)  # rows past a block's end stay -1
     i32p = ctypes.POINTER(ctypes.c_int)
     load().nlzmx_classify_reps(
         op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p), T, B,

@@ -693,23 +693,29 @@ def bits_forward(fields, cap: int):
 
 
 # ---------------------------------------------------------------- driver
+def _calibrated_parse(dj, nv, reach: int, num_steps: int):
+    """Optimal device parse: 2-candidate matching + iterated per-block
+    cost calibration (converges by pass 3: realized model costs feed the
+    next parse, like the reference's live-model edge pricing but
+    batched)."""
+    delta, mlen = find_matches(dj, nv, reach, num_cands=2)
+    costs = None
+    for i in range(3):
+        choice_len, choice_cand = dp_parse(delta, mlen, nv, costs)
+        op_len, op_val = dp_cover(dj, delta, choice_len, choice_cand, nv, num_steps)
+        if i < 2:
+            op_rep = repify(op_len, op_val)
+            spans, _, _ = emit_model(op_len, op_val, op_rep)
+            costs = measure_costs(spans, op_len, op_val, op_rep)
+    return op_len, op_val
+
+
 def encode_pipeline(
     dj, nv, reach: int, num_steps: int, rans_cap: int, bits_cap: int, parser: str = "greedy"
 ):
     """Full device-side encode: blocks in, frame sections out (jittable)."""
     if parser == "optimal":
-        delta, mlen = find_matches(dj, nv, reach, num_cands=2)
-        costs = None
-        # iterated per-block cost calibration (converges by pass 3:
-        # realized model costs feed the next parse, like the reference's
-        # live-model edge pricing but batched)
-        for i in range(3):
-            choice_len, choice_cand = dp_parse(delta, mlen, nv, costs)
-            op_len, op_val = dp_cover(dj, delta, choice_len, choice_cand, nv, num_steps)
-            if i < 2:
-                op_rep = repify(op_len, op_val)
-                spans, _, _ = emit_model(op_len, op_val, op_rep)
-                costs = measure_costs(spans, op_len, op_val, op_rep)
+        op_len, op_val = _calibrated_parse(dj, nv, reach, num_steps)
     else:
         delta, mlen = find_matches(dj, nv, reach)
         op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
@@ -814,15 +820,7 @@ def parse_blocks_device(data: bytes, block_size: int, hist_bits: int, parser: st
     num_steps = ((N + 255) // 256) * 256
     reach = (1 << hist_bits) - 1
     if parser == "optimal":
-        delta, mlen = find_matches(dj, nv, reach, num_cands=2)
-        costs = None
-        for i in range(3):
-            choice_len, choice_cand = dp_parse(delta, mlen, nv, costs)
-            op_len, op_val = dp_cover(dj, delta, choice_len, choice_cand, nv, num_steps)
-            if i < 2:
-                op_rep = repify(op_len, op_val)
-                spans, _, _ = emit_model(op_len, op_val, op_rep)
-                costs = measure_costs(spans, op_len, op_val, op_rep)
+        op_len, op_val = _calibrated_parse(dj, nv, reach, num_steps)
     else:
         delta, mlen = find_matches(dj, nv, reach)
         op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)

@@ -10,7 +10,7 @@ fills the output. This replaces both the reference's byte-serial copy loop
 
 Two formulations of the per-round composition p <- p o p:
 
-- sort path (default for block_size <= 16384): TPU has no per-lane gather
+- sort path (default for block_size <= PACK_MAX = 32768): TPU has no per-lane gather
   hardware, but its sorts run ~15x faster per element than XLA's gather
   lowering (measured on v5e: sort ~1.2G elem/s vs gather ~70M elem/s). A
   gather by arbitrary index is restructured as: merge (source, query)

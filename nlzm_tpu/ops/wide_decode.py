@@ -3,8 +3,8 @@
 Decodes B blocks in lockstep. Each of the five symbol planes
 (format/wide.py) runs as its own scan-of-scans: the outer scan walks
 chunks (rebuilding the CDF tables from realized counts at each boundary,
-same deterministic rule as the encoder), the inner scan walks the 32
-steps of a chunk; a step advances L rANS lanes together through 1-2
+same deterministic rule as the encoder), the inner scan walks the steps
+of a chunk (warmup schedule 2/2/4/8, then 16); a step advances L rANS lanes together through 1-2
 predicated CDF reads against the chunk-static tables, fetching ONE
 contiguous byte window per step (the stream is laid out in exact decode
 order: step, read, lane).

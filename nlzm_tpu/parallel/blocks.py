@@ -89,7 +89,8 @@ def encode_container(
     flags = FLAG_CRC32
     if profile == "wide":
         # the packed-sort primitives carry 15-bit positions/payloads
-        assert block_size <= 32768, "wide profile caps blocks at 32 KiB"
+        if block_size > 32768:
+            raise ValueError("wide profile caps blocks at 32 KiB")
         flags |= FLAG_WIDE
         from .. import native
         from ..format.wide import encode_wide_blocks
@@ -211,6 +212,16 @@ def pack_streams(data: bytes, info: ContainerInfo) -> np.ndarray:
     return arr
 
 
+def block_payloads(data: bytes, info: ContainerInfo) -> list:
+    """Per-block payload byte strings of a parsed container."""
+    out = []
+    off = info.payload_off
+    for cs in info.comp_sizes:
+        out.append(data[off : off + cs])
+        off += cs
+    return out
+
+
 class IntegrityError(ValueError):
     pass
 
@@ -241,23 +252,15 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
     if info.wide:
         from ..ops.wide_decode import decode_wide_blocks
 
-        payloads = []
-        off = info.payload_off
-        for cs in info.comp_sizes:
-            payloads.append(data[off : off + cs])
-            off += cs
         return _verified(
-            decode_wide_blocks(payloads, info.block_size, info.total_len), info
+            decode_wide_blocks(block_payloads(data, info), info.block_size, info.total_len),
+            info,
         )
 
     if engine == "native":
         from .. import native
 
-        payloads = []
-        off = info.payload_off
-        for cs in info.comp_sizes:
-            payloads.append(data[off : off + cs])
-            off += cs
+        payloads = block_payloads(data, info)
         return _verified(
             native.decode_blocks(payloads, info.hist_bits, info.block_size, info.total_len),
             info,

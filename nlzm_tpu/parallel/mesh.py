@@ -76,7 +76,7 @@ def decode_wide_sharded(data: bytes, mesh: Mesh) -> bytes:
     leading block dimension, so sharding the staged arrays makes the whole
     pipeline SPMD with no cross-device traffic on the hot path.
     """
-    from .blocks import parse_container
+    from .blocks import block_payloads, parse_container
     from ..ops.wide_decode import decode_wide_staged, prepare_wide
 
     info = parse_container(data)
@@ -84,11 +84,7 @@ def decode_wide_sharded(data: bytes, mesh: Mesh) -> bytes:
         return b""
     assert info.wide
 
-    payloads = []
-    off = info.payload_off
-    for cs in info.comp_sizes:
-        payloads.append(data[off : off + cs])
-        off += cs
+    payloads = block_payloads(data, info)
     n_dev = mesh.devices.size
     # pad with empty blocks so B divides the mesh (an all-zero header
     # decodes as an empty block)

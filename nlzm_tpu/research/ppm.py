@@ -126,7 +126,10 @@ class _SEE:
         p = self.acc.get(key, SEE_INIT)
         # esc/(tot_inc + esc) ~= p/SEE_SCALE  ->  esc = tot_inc * p/(SCALE-p)
         esc = (tot_inc * p) // (SEE_SCALE - p)
-        return max(1, min(esc, tot_inc * 4 + 1)), key
+        # the carry-less coder needs tot < BOT or its underflow renorm can
+        # zero the range (encode hang / decode div-by-zero)
+        esc = min(esc, tot_inc * 4 + 1, BOT - 1 - tot_inc)
+        return max(1, esc), key
 
     def update(self, key: int, escaped: bool) -> None:
         p = self.acc.get(key, SEE_INIT)
