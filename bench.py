@@ -65,7 +65,7 @@ def main() -> None:
     # cache key: corpus + the format-defining module (not the decoder)
     fmt = (REPO / "nlzm_tpu" / "format" / "wide.py").read_bytes()
     key = hashlib.sha256(
-        hashlib.sha256(data).digest() + hashlib.sha256(fmt).digest() + f"enc-v3|{BLOCK_SIZE}".encode()
+        hashlib.sha256(data).digest() + hashlib.sha256(fmt).digest() + f"enc-v4|{BLOCK_SIZE}".encode()
     ).hexdigest()[:16]
     cache = REPO / ".build" / f"bench_wide_{key}.nlzp"
     cache.parent.mkdir(parents=True, exist_ok=True)
@@ -79,7 +79,7 @@ def main() -> None:
         cache.write_bytes(container)
 
     info = parse_container(container)
-    staged = prepare_wide(block_payloads(container, info))
+    staged = prepare_wide(block_payloads(container, info), info.wide_priors)
 
     # warmup/compile + full correctness check (untimed)
     out, produced = decode_wide_staged(staged, info.block_size)

@@ -115,22 +115,31 @@ def build_cdf(counts: np.ndarray, nsym: int) -> np.ndarray:
 
 
 class _TableBank:
-    """Per-(block, read) chunked-adaptive fence tables (numpy)."""
+    """Per-(block, read) chunked-adaptive fence tables (numpy).
 
-    def __init__(self, B: int, spec: PlaneSpec):
+    prior: optional per-read [rows, nsym] counts shared by every block
+    (container-level warm start); seeds the carry and the initial tables.
+    """
+
+    def __init__(self, B: int, spec: PlaneSpec, prior=None):
         self.spec = spec
         self.tables = []  # per read: [B, rows, 17]
         self.counts = []  # fresh counts this chunk
         self.carry = []  # decayed history
         for r in range(spec.reads):
             rows, nsym = spec.rows[r], spec.alphabets[r]
-            t = np.zeros((B, rows, 17), np.int32)
-            step = CDF_SCALE_TOTAL // nsym
-            t[..., 1 : nsym + 1] = np.arange(1, nsym + 1) * step
-            t[..., nsym:] = CDF_SCALE_TOTAL
-            self.tables.append(t)
+            if prior is not None:
+                c0 = np.broadcast_to(prior[r], (B, rows, nsym)).astype(np.int64)
+                self.carry.append(c0.copy())
+                self.tables.append(build_cdf(c0, nsym))
+            else:
+                t = np.zeros((B, rows, 17), np.int32)
+                step = CDF_SCALE_TOTAL // nsym
+                t[..., 1 : nsym + 1] = np.arange(1, nsym + 1) * step
+                t[..., nsym:] = CDF_SCALE_TOTAL
+                self.tables.append(t)
+                self.carry.append(np.zeros((B, rows, nsym), np.int64))
             self.counts.append(np.zeros((B, rows, nsym), np.int64))
-            self.carry.append(np.zeros((B, rows, nsym), np.int64))
 
     def span(self, r: int, row: np.ndarray, y: np.ndarray, active: np.ndarray):
         """(start, freq) for symbols y in context rows; bumps counts."""
@@ -150,7 +159,7 @@ class _TableBank:
             self.tables[r] = build_cdf(self.carry[r], self.spec.alphabets[r])
 
 
-def _rans_encode_plane(spec: PlaneSpec, syms, rows, n_sym, B):
+def _rans_encode_plane(spec: PlaneSpec, syms, rows, n_sym, B, prior=None):
     """Backward interleaved rANS over one plane.
 
     syms/rows: per read r, [B, T_pad] symbol / context-row arrays
@@ -160,7 +169,7 @@ def _rans_encode_plane(spec: PlaneSpec, syms, rows, n_sym, B):
     L = spec.lanes
     T_pad = syms[0].shape[1]
     steps = T_pad // L
-    bank = _TableBank(B, spec)
+    bank = _TableBank(B, spec, prior)
 
     boundary_after = set()
     acc = 0
@@ -212,6 +221,58 @@ def _rans_encode_plane(spec: PlaneSpec, syms, rows, n_sym, B):
         sel = pa[b][ma[b]].astype(">u2")
         streams.append(seeds[b].tobytes() + sel.tobytes())
     return streams
+
+
+PRIOR_ROW_BUDGET = 256  # per-row prior mass (carry-scale counts)
+
+
+def build_priors(syms_all, rows_all, masks_all):
+    """Global per-plane (row, symbol) prior counts from batched arrays.
+
+    syms_all/rows_all: {plane: per-read [B, T_pad] arrays}; masks_all:
+    {plane: [B, T_pad] active}. Rows scale to PRIOR_ROW_BUDGET total.
+    """
+    priors = {}
+    for spec in PLANES:
+        pr = []
+        for r in range(spec.reads):
+            h = np.zeros((spec.rows[r], spec.alphabets[r]), np.int64)
+            m = masks_all[spec.name]
+            np.add.at(h, (rows_all[spec.name][r][m], syms_all[spec.name][r][m]), 1)
+            tot = h.sum(axis=1, keepdims=True)
+            pr.append((h * PRIOR_ROW_BUDGET) // np.maximum(tot, 1))
+        priors[spec.name] = pr
+    return priors
+
+
+def serialize_priors(priors) -> bytes:
+    out = bytearray()
+    for spec in PLANES:
+        for r in range(spec.reads):
+            out += priors[spec.name][r].astype(">u2").tobytes()
+    return bytes(out)
+
+
+def parse_priors(blob: bytes):
+    priors = {}
+    off = 0
+    for spec in PLANES:
+        pr = []
+        for r in range(spec.reads):
+            n = spec.rows[r] * spec.alphabets[r]
+            a = np.frombuffer(blob, ">u2", n, off).astype(np.int64)
+            pr.append(a.reshape(spec.rows[r], spec.alphabets[r]))
+            off += 2 * n
+        priors[spec.name] = pr
+    return priors
+
+
+def priors_blob_size() -> int:
+    return 2 * sum(
+        spec.rows[r] * spec.alphabets[r]
+        for spec in PLANES
+        for r in range(spec.reads)
+    )
 
 
 def _pack_bits(widths: np.ndarray, values: np.ndarray) -> bytes:
@@ -298,11 +359,13 @@ def _plane_symbol_data(op_len, op_val, op_rep):
     }, bits
 
 
-def encode_wide_blocks(op_len, op_val, op_rep) -> list:
+def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
     """Encode command arrays [T, B] into per-block wide payloads.
 
     op_len < 0 marks steps past a block's end; all blocks' planes encode
     batched (the rANS passes vectorize across blocks and lanes).
+    Returns (payloads, priors_blob) - the blob ("" when with_priors is
+    False) carries container-level warm-start counts shared by all blocks.
     """
     op_len = np.asarray(op_len)
     T, B = op_len.shape
@@ -315,7 +378,8 @@ def encode_wide_blocks(op_len, op_val, op_rep) -> list:
         )
         per_block.append((pd, bits))
 
-    plane_streams = []
+    # batched plane arrays (shared by prior building and the rANS passes)
+    batched = {}
     plane_counts = []
     for spec in PLANES:
         counts = np.asarray(
@@ -330,8 +394,28 @@ def encode_wide_blocks(op_len, op_val, op_rep) -> list:
             for r in range(spec.reads):
                 syms_p[r][b, :n] = syms[r]
                 rows_p[r][b, :n] = rows[r]
-        plane_streams.append(_rans_encode_plane(spec, syms_p, rows_p, counts, B))
+        mask = np.arange(T_pad)[None, :] < counts[:, None]
+        batched[spec.name] = (syms_p, rows_p, counts, mask)
         plane_counts.append(counts)
+
+    priors, blob = None, b""
+    if with_priors:
+        priors = build_priors(
+            {n: v[0] for n, v in batched.items()},
+            {n: v[1] for n, v in batched.items()},
+            {n: v[3] for n, v in batched.items()},
+        )
+        blob = serialize_priors(priors)
+
+    plane_streams = []
+    for spec in PLANES:
+        syms_p, rows_p, counts, _ = batched[spec.name]
+        plane_streams.append(
+            _rans_encode_plane(
+                spec, syms_p, rows_p, counts, B,
+                priors[spec.name] if priors else None,
+            )
+        )
 
     payloads = []
     for b in range(B):
@@ -345,29 +429,29 @@ def encode_wide_blocks(op_len, op_val, op_rep) -> list:
             out += plane_streams[i][b]
         out += bits
         payloads.append(bytes(out))
-    return payloads
+    return payloads, blob
 
 
 def encode_wide_block(op_len, op_val, op_rep) -> bytes:
-    """Single-block convenience wrapper over encode_wide_blocks."""
+    """Single-block convenience wrapper (no priors) over encode_wide_blocks."""
     op_len = np.asarray(op_len, np.int64)[:, None]
     op_val = np.asarray(op_val, np.int64)[:, None]
     op_rep = np.asarray(op_rep, np.int64)[:, None]
-    return encode_wide_blocks(op_len, op_val, op_rep)[0]
+    return encode_wide_blocks(op_len, op_val, op_rep, with_priors=False)[0][0]
 
 
 class _PlaneDecoder:
     """Host reference decoder for one plane stream (mirror of
     _rans_encode_plane; the batched device decoder must match it)."""
 
-    def __init__(self, spec: PlaneSpec, stream: bytes, n_sym: int):
+    def __init__(self, spec: PlaneSpec, stream: bytes, n_sym: int, prior=None):
         self.spec = spec
         L = spec.lanes
         self.x = np.frombuffer(stream[: 4 * L], "<u4").astype(np.uint64).copy()
         self.pos = 4 * L
         self.stream = stream
         self.n = n_sym
-        self.bank = _TableBank(1, spec)
+        self.bank = _TableBank(1, spec, prior)
         self.steps = padded_steps(n_sym, spec.lanes)
         self.boundary_after = set()
         acc = 0

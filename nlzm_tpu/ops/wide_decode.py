@@ -60,14 +60,16 @@ def _uniform_tables(B: int, rows: int, nsym: int):
 
 
 @partial(jax.jit, static_argnames=("plane_idx", "steps"))
-def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: int, steps: int):
+def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: int, steps: int, prior=None):
     """Decode one plane for all blocks.
 
     words: [B, W] u32 little-endian words of the plane stream (seeds
     first). n_sym: [B] symbol counts. ctx: [B, steps*L] read-0 context
     rows (all-zero except the dst plane's lc sequence). steps must equal
     sum(chunk_schedule(...)) as produced by format.wide.padded_steps.
-    Returns per-read symbol arrays, each [B, steps*L].
+    prior: optional per-read [rows, 16] warm-start counts (container
+    level, shared by all blocks). Returns per-read symbol arrays,
+    each [B, steps*L].
     """
     from ..format.wide import chunk_schedule
 
@@ -176,8 +178,17 @@ def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: in
         )
         return (x, cursor, new_tables, new_carries), ys
 
-    tables0 = tuple(_uniform_tables(B, spec.rows[r], spec.alphabets[r]) for r in range(reads))
-    carries0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(reads))
+    if prior is None:
+        tables0 = tuple(_uniform_tables(B, spec.rows[r], spec.alphabets[r]) for r in range(reads))
+        carries0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(reads))
+    else:
+        carries0 = tuple(
+            jnp.broadcast_to(prior[r][None], (B, spec.rows[r], 16)).astype(_I32)
+            for r in range(reads)
+        )
+        tables0 = tuple(
+            _build_cdf_jnp(carries0[r], spec.alphabets[r]) for r in range(reads)
+        )
     cursor0 = jnp.full((B,), 4 * L, _I32)
 
     # group the warmup schedule into runs of equal chunk length; each run
@@ -319,13 +330,13 @@ def _pack_words(chunks, min_words=4):
     return a4[:, :, 0] | (a4[:, :, 1] << 8) | (a4[:, :, 2] << 16) | (a4[:, :, 3] << 24)
 
 
-def prepare_wide(payloads):
+def prepare_wide(payloads, priors_blob: bytes | None = None):
     """Host prep: parse block headers, pack plane streams, upload.
 
     Returns a staged dict of device arrays + static step counts, ready
     for decode_wide_staged (the bench stages once, times the pipeline).
     """
-    from ..format.wide import N_PLANES, padded_steps
+    from ..format.wide import N_PLANES, padded_steps, parse_priors
 
     B = len(payloads)
     counts = np.zeros((B, N_PLANES), np.int64)
@@ -349,7 +360,18 @@ def prepare_wide(payloads):
     bit_arr = np.zeros((B, bmax), np.int32)
     for b, c in enumerate(bit_chunks):
         bit_arr[b, : len(c)] = np.frombuffer(c, np.uint8)
+    priors = None
+    if priors_blob:
+        raw = parse_priors(priors_blob)
+        priors = {
+            name: [
+                jnp.asarray(np.pad(a, ((0, 0), (0, 16 - a.shape[1]))).astype(np.int32))
+                for a in pr
+            ]
+            for name, pr in raw.items()
+        }
     return {
+        "priors": priors,
         "n_sym": [jnp.asarray(counts[:, i], np.int32) for i in range(N_PLANES)],
         "words": [
             jnp.asarray(_pack_words(plane_streams[i], PLANES[i].lanes + 2))
@@ -370,16 +392,18 @@ def decode_wide_staged(staged, block_size: int):
 
     B = staged["B"]
     n_sym, words, steps = staged["n_sym"], staged["words"], staged["steps"]
+    priors = staged.get("priors")
+    pr = lambda name: tuple(priors[name]) if priors else None
     padw = lambda i: steps[i] * PLANES[i].lanes
     zero_ctx = lambda i: jnp.zeros((B, padw(i)), _I32)
     # plane pad can exceed the 15-bit packed-sort budget by one chunk;
     # symbol counts never do (every command produces >= 1 byte)
     cap15 = lambda a: a[:, : min(a.shape[1], 1 << 15)]
 
-    tok_y, = plane_scan(words[0], n_sym[0], zero_ctx(0), 0, steps[0])
-    lit_hi, lit_lo = plane_scan(words[1], n_sym[1], zero_ctx(1), 1, steps[1])
-    len_y, = plane_scan(words[2], n_sym[2], zero_ctx(2), 2, steps[2])
-    lex_hi, lex_lo = plane_scan(words[3], n_sym[3], zero_ctx(3), 3, steps[3])
+    tok_y, = plane_scan(words[0], n_sym[0], zero_ctx(0), 0, steps[0], pr("tok"))
+    lit_hi, lit_lo = plane_scan(words[1], n_sym[1], zero_ctx(1), 1, steps[1], pr("lit"))
+    len_y, = plane_scan(words[2], n_sym[2], zero_ctx(2), 2, steps[2], pr("len"))
+    lex_hi, lex_lo = plane_scan(words[3], n_sym[3], zero_ctx(3), 3, steps[3], pr("lex"))
     tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
         cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
     )
@@ -387,7 +411,7 @@ def decode_wide_staged(staged, block_size: int):
     is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
         tok_y, n_sym[0], len_y, lex_hi, lex_lo, padw(4)
     )
-    dst_hi, dst_lo = plane_scan(words[4], n_sym[4], lc_dict, 4, steps[4])
+    dst_hi, dst_lo = plane_scan(words[4], n_sym[4], lc_dict, 4, steps[4], pr("dst"))
     dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
 
     op_len, op_val = assemble_post_dst(
@@ -397,9 +421,9 @@ def decode_wide_staged(staged, block_size: int):
     return lz_expand_parallel(op_len, op_val, block_size)
 
 
-def decode_wide_blocks(payloads, block_size: int, total_len: int) -> bytes:
+def decode_wide_blocks(payloads, block_size: int, total_len: int, priors_blob: bytes | None = None) -> bytes:
     """Decode wide-profile block payloads (host orchestration)."""
-    staged = prepare_wide(payloads)
+    staged = prepare_wide(payloads, priors_blob)
     out, produced = decode_wide_staged(staged, block_size)
     out_np = np.asarray(out).reshape(-1)
     return out_np[: staged["B"] * block_size].tobytes()[:total_len]

@@ -41,6 +41,7 @@ _HDR = struct.Struct(">4sBBBBIQI")
 _BLK = struct.Struct(">III")
 FLAG_CRC32 = 0x01  # u32be CRC of the uncompressed data follows the header
 FLAG_WIDE = 0x02  # blocks use the wide profile (format/wide.py)
+FLAG_PRIORS = 0x04  # container-level wide warm-start priors blob follows
 
 DEFAULT_BLOCK_SIZE = 1 << 17  # 128 KB: 5 frames/block at hist_bits 17
 
@@ -57,6 +58,7 @@ class ContainerInfo:
     payload_off: int
     crc32: int | None = None
     wide: bool = False
+    wide_priors: bytes | None = None
 
 
 def hist_bits_for_block(block_size: int) -> int:
@@ -109,7 +111,9 @@ def encode_container(
                 op_len, op_val, op_rep = parse_blocks_device(
                     data, block_size, hist_bits, parser
                 )
-            payloads = encode_wide_blocks(op_len, op_val, op_rep)
+            payloads, priors_blob = encode_wide_blocks(op_len, op_val, op_rep)
+            if priors_blob:
+                flags |= FLAG_PRIORS
             ncmds = [
                 int(np.argmax(op_len[:, b] < 0))
                 if (op_len[:, b] < 0).any()
@@ -118,7 +122,7 @@ def encode_container(
             ]
             meta = [(len(p), 0, c) for p, c in zip(payloads, ncmds)]
         else:
-            payloads, meta = [], []
+            payloads, meta, priors_blob = [], [], b""
     elif engine == "tpu" and num_blocks:
         from ..ops.encode_ops import encode_blocks_tpu
 
@@ -155,6 +159,8 @@ def encode_container(
         )
     )
     out.write(struct.pack(">I", crc32(data)))
+    if flags & FLAG_PRIORS:
+        out.write(priors_blob)
     for m in meta:
         out.write(_BLK.pack(*m))
     for p in payloads:
@@ -175,6 +181,13 @@ def parse_container(data: bytes) -> ContainerInfo:
     if flags & FLAG_CRC32:
         (crc,) = struct.unpack_from(">I", data, off)
         off += 4
+    priors = None
+    if flags & FLAG_PRIORS:
+        from ..format.wide import priors_blob_size
+
+        n = priors_blob_size()
+        priors = data[off : off + n]
+        off += n
     comp_sizes, reads, cmds = [], [], []
     for _ in range(num_blocks):
         cs, rd, nc = _BLK.unpack_from(data, off)
@@ -193,6 +206,7 @@ def parse_container(data: bytes) -> ContainerInfo:
         payload_off=off,
         crc32=crc,
         wide=bool(flags & FLAG_WIDE),
+        wide_priors=priors,
     )
 
 
@@ -253,7 +267,10 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
         from ..ops.wide_decode import decode_wide_blocks
 
         return _verified(
-            decode_wide_blocks(block_payloads(data, info), info.block_size, info.total_len),
+            decode_wide_blocks(
+                block_payloads(data, info), info.block_size, info.total_len,
+                info.wide_priors,
+            ),
             info,
         )
 

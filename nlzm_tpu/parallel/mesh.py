@@ -94,7 +94,7 @@ def decode_wide_sharded(data: bytes, mesh: Mesh) -> bytes:
     while len(payloads) % n_dev:
         payloads.append(b"\x00" * HDR_BYTES)
 
-    staged = prepare_wide(payloads)
+    staged = prepare_wide(payloads, info.wide_priors)
     sharding = NamedSharding(mesh, P(BLOCK_AXIS))
     staged["n_sym"] = [jax.device_put(a, sharding) for a in staged["n_sym"]]
     staged["words"] = [jax.device_put(a, sharding) for a in staged["words"]]
