@@ -790,7 +790,7 @@ void nlzmx_classify_reps(const int* op_len, const int* op_val, long long T, long
 // pointer-doubling rounds. op arrays are [T, B] row-major; threaded
 // across blocks.
 void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, int cap,
-                     int threads) {
+                     int threads, int* out_depth) {
   if (threads < 1) threads = 1;
   std::vector<std::thread> pool;
   std::atomic<long long> next{0};
@@ -802,6 +802,7 @@ void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, 
       std::fill(depth.begin(), depth.end(), 0);
       std::fill(cmd_at.begin(), cmd_at.end(), 0);
       long long pos = 0;
+      int blk_depth = 0;
       for (long long k = 0; k < T; k++) {
         int l = op_len[k * B + b];
         if (l < 0) break;
@@ -834,10 +835,12 @@ void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, 
         int span = d < l ? d : l;
         for (int i = 0; i < l && pos + i < N; i++) {
           depth[pos + i] = depth[src + (i % span)] + 1;
+          if (depth[pos + i] > blk_depth) blk_depth = depth[pos + i];
           cmd_at[pos + i] = (int)k;
         }
         pos += l;
       }
+      if (out_depth) out_depth[b] = blk_depth;
     }
   };
   for (int t = 0; t < threads; t++) pool.emplace_back(work);

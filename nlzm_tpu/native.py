@@ -66,7 +66,7 @@ def load() -> ctypes.CDLL:
 
     lib.nlzmx_lift_deep.restype = None
     lib.nlzmx_lift_deep.argtypes = [
-        c_i32p, c_i32p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_i32p, c_i32p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
     ]
 
     lib.nlzmx_encode_blocks.restype = ctypes.c_int
@@ -200,18 +200,23 @@ def decode_blocks(payloads: list, hist_bits: int, block_size: int, total_len: in
     return dst.tobytes()[:total_len]
 
 
-def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int = 15, threads: int = 0) -> None:
-    """Bound literal-ancestor depth in [T, B] command arrays (in place)."""
+def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int = 15, threads: int = 0) -> np.ndarray:
+    """Bound literal-ancestor depth in [T, B] command arrays (in place).
+
+    Returns the per-block max chain depth (the decoder's exact
+    pointer-doubling round budget is ceil(log2(depth)))."""
     assert op_len.dtype == np.int32 and op_val.dtype == np.int32
     assert op_len.flags.c_contiguous and op_val.flags.c_contiguous
     T, B = op_len.shape
     if threads <= 0:
         threads = min(16, os.cpu_count() or 1)
     i32p = ctypes.POINTER(ctypes.c_int)
+    depths = np.zeros(B, np.int32)
     load().nlzmx_lift_deep(
         op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p),
-        T, B, block_size, cap, threads,
+        T, B, block_size, cap, threads, depths.ctypes.data_as(i32p),
     )
+    return depths
 
 
 def parse_blocks(data: bytes, block_size: int, hist_bits: int, threads: int = 0):

@@ -57,8 +57,12 @@ def _cmd_attrs_scatter(lens, starts, val_list, block_size):
 
 
 @partial(jax.jit, static_argnames=("block_size",))
-def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int):
+def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, rounds_hint=None):
     """op_len/op_val: [T, B] (op_len<0 past end, 0 literal, else match len).
+
+    rounds_hint: optional scalar = exact doubling rounds needed
+    (ceil(log2(max chain depth)), known to the encoder and carried in the
+    container). Without it the loop runs until a no-change round.
 
     Returns (out [B, block_size] uint8, produced [B]).
     """
@@ -109,16 +113,30 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int):
         lambda p, q: jnp.take_along_axis(p, q, axis=1)
     )
 
-    def cond(state):
-        k, p, changed = state
-        return (k < rounds) & changed
+    if rounds_hint is None:
 
-    def body(state):
-        k, p, _ = state
-        p2 = compose(p, p)
-        return k + 1, p2, jnp.any(p2 != p)
+        def cond(state):
+            k, p, changed = state
+            return (k < rounds) & changed
 
-    _, parent, _ = jax.lax.while_loop(cond, body, (0, parent, True))
+        def body(state):
+            k, p, _ = state
+            p2 = compose(p, p)
+            return k + 1, p2, jnp.any(p2 != p)
+
+        _, parent, _ = jax.lax.while_loop(cond, body, (0, parent, True))
+    else:
+        bound = jnp.minimum(jnp.asarray(rounds_hint, _I32), rounds)
+
+        def cond2(state):
+            k, p = state
+            return k < bound
+
+        def body2(state):
+            k, p = state
+            return k + 1, compose(p, p)
+
+        _, parent = jax.lax.while_loop(cond2, body2, (0, parent))
 
     if use_sort:
         out = _gather_sorted(lit_at, parent).astype(jnp.uint8)

@@ -390,6 +390,8 @@ def decode_wide_staged(staged, block_size: int):
     """Device pipeline: staged plane streams -> (out [B, N] u8, produced)."""
     from .expand_ops import lz_expand_parallel
 
+    rounds_hint = staged.get("rounds_hint")
+
     B = staged["B"]
     n_sym, words, steps = staged["n_sym"], staged["words"], staged["steps"]
     priors = staged.get("priors")
@@ -418,12 +420,21 @@ def decode_wide_staged(staged, block_size: int):
         is_lit, is_rep, is_dict, lv, m_rank, d_rank,
         lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_bytes"], n_sym[0],
     )
-    return lz_expand_parallel(op_len, op_val, block_size)
+    return lz_expand_parallel(op_len, op_val, block_size, rounds_hint)
 
 
-def decode_wide_blocks(payloads, block_size: int, total_len: int, priors_blob: bytes | None = None) -> bytes:
-    """Decode wide-profile block payloads (host orchestration)."""
+def decode_wide_blocks(
+    payloads, block_size: int, total_len: int,
+    priors_blob: bytes | None = None, max_depth: int = 0,
+) -> bytes:
+    """Decode wide-profile block payloads (host orchestration).
+
+    max_depth > 0 (from the container's per-block depth fields) lets the
+    expander run its exact round budget instead of detecting convergence.
+    """
     staged = prepare_wide(payloads, priors_blob)
+    if max_depth > 0:
+        staged["rounds_hint"] = max(0, (max_depth - 1)).bit_length()
     out, produced = decode_wide_staged(staged, block_size)
     out_np = np.asarray(out).reshape(-1)
     return out_np[: staged["B"] * block_size].tobytes()[:total_len]

@@ -19,6 +19,9 @@ Container layout (all integers big-endian):
     20  u32    num_blocks
     [u32 crc32 when flagged]
     per block: u32 comp_size | u32 total_reads | u32 num_cmds
+               (wide profile: the reads slot carries the block's max
+                literal-ancestor chain depth - the decoder's exact
+                pointer-doubling round budget)
     ... concatenated block payloads (frames only - no per-block file header,
         no sentinel; zero padding after each payload terminates it)
 
@@ -103,7 +106,7 @@ def encode_container(
                 # costs) feeds the wide planes; ~15x faster than the
                 # device DP and a few % better ratio
                 op_len, op_val = native.parse_blocks(data, block_size, hist_bits)
-                native.lift_deep(op_len, op_val, block_size)
+                depths = native.lift_deep(op_len, op_val, block_size)
                 op_rep = native.classify_reps(op_len, op_val)
             else:
                 from ..ops.encode_ops import parse_blocks_device
@@ -120,7 +123,12 @@ def encode_container(
                 else op_len.shape[0]
                 for b in range(num_blocks)
             ]
-            meta = [(len(p), 0, c) for p, c in zip(payloads, ncmds)]
+            # the per-block "reads" slot carries the chain depth: the
+            # decoder's exact pointer-doubling round budget
+            meta = [
+                (len(p), int(d), c)
+                for p, d, c in zip(payloads, depths, ncmds)
+            ]
         else:
             payloads, meta, priors_blob = [], [], b""
     elif engine == "tpu" and num_blocks:
@@ -269,7 +277,7 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
         return _verified(
             decode_wide_blocks(
                 block_payloads(data, info), info.block_size, info.total_len,
-                info.wide_priors,
+                info.wide_priors, max(info.total_reads, default=0),
             ),
             info,
         )

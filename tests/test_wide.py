@@ -102,3 +102,11 @@ def test_wide_corruption_detected(corpus_text):
     c[info.payload_off + 200] ^= 0xFF  # flip a payload byte
     with pytest.raises(IntegrityError):
         decode_container(bytes(c))
+
+
+def test_wide_deep_chains_rle():
+    """Adversarial overlap/RLE data exercises deep ancestor chains, the
+    modular-parent collapse, and the container's depth round budget."""
+    data = (b"\x00" * 5000) + (b"ab" * 4000) + (b"xyz" * 3000) + b"tail" * 500
+    c = encode_container(data, block_size=8192, parser="optimal", profile="wide")
+    assert decode_container(c) == data
