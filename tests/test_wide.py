@@ -110,3 +110,14 @@ def test_wide_deep_chains_rle():
     data = (b"\x00" * 5000) + (b"ab" * 4000) + (b"xyz" * 3000) + b"tail" * 500
     c = encode_container(data, block_size=8192, parser="optimal", profile="wide")
     assert decode_container(c) == data
+
+
+def test_wide_sharded_mesh_roundtrip(corpus_text):
+    """Wide decode sharded over the virtual 8-device mesh (DP blocks,
+    padded to the device count, container depth budget active)."""
+    from nlzm_tpu.parallel.mesh import decode_wide_sharded, make_mesh
+
+    data = corpus_text(30000)
+    c = encode_container(data, block_size=4096, parser="optimal", profile="wide")
+    mesh = make_mesh()
+    assert decode_wide_sharded(c, mesh) == data
