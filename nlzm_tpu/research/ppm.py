@@ -17,8 +17,9 @@ fresh, compact design rather than a var.I re-implementation:
   estimators bucketed by (order, distinct-symbol count, context totals),
   the same role as the reference's tbl_see[23][32] quantization - escape
   weight is learned from realized escapes instead of method-C counting.
-- Exclusion of symbols already rejected at higher orders, as in PPM
-  proper.
+- Exclusion of symbols already rejected at higher orders, and update
+  exclusion (counts bump only in the matched context and its longer
+  parents), as in PPM proper.
 - Bounded model memory with deterministic restart: when the stats pool
   exceeds MAX_NODES the whole model resets (both drivers hit the same
   trigger at the same symbol, keeping the streams mirror-exact) - the
@@ -174,8 +175,13 @@ class _Model:
                 dropped += 1
         return dropped
 
-    def update(self, hist: int, sym: int) -> None:
-        for table, key in zip(self.tables, self._ctx_keys(hist)):
+    def update(self, hist: int, sym: int, upto: int = 99) -> None:
+        """Bump counts for orders >= the matched one (update exclusion):
+        table index i covers order ORDERS[i]; only i <= upto updates.
+        order-0 updates only when the symbol escaped every table."""
+        for i, (table, key) in enumerate(zip(self.tables, self._ctx_keys(hist))):
+            if i > upto:
+                break
             stats = table.get(key)
             if stats is None:
                 table[key] = {sym: 1}
@@ -186,9 +192,10 @@ class _Model:
                 stats[sym] = stats.get(sym, 0) + 4
                 if sum(stats.values()) > MAX_FREQ:
                     self.nodes -= self._rescale(stats)
-        self.order0[sym] = self.order0.get(sym, 0) + 1
-        if sum(self.order0.values()) > MAX_FREQ:
-            self._rescale(self.order0)
+        if upto >= len(self.tables):
+            self.order0[sym] = self.order0.get(sym, 0) + 1
+            if sum(self.order0.values()) > MAX_FREQ:
+                self._rescale(self.order0)
         # deterministic restart at the memory bound: the capability analog
         # of the reference's RestoreModel on suballocator OOM - both
         # drivers see the same node count at the same symbol
@@ -212,6 +219,7 @@ def compress(data: bytes) -> bytes:
     for sym in data:
         excluded: set = set()
         coded = False
+        coded_at = 99
         for oi, (table, key) in enumerate(zip(model.tables, model._ctx_keys(hist))):
             stats = table.get(key)
             if not stats:
@@ -233,6 +241,7 @@ def compress(data: bytes) -> bytes:
                 enc.encode(hit[0], hit[1], tot)
                 model.see.update(see_key, False)
                 coded = True
+                coded_at = oi
                 break
             enc.encode(tot_inc, esc, tot)  # escape
             model.see.update(see_key, True)
@@ -261,7 +270,7 @@ def compress(data: bytes) -> bytes:
                 rest = [s for s in range(256) if s not in excluded]
                 idx = rest.index(sym)
                 enc.encode(idx, 1, len(rest))
-        model.update(hist, sym)
+        model.update(hist, sym, coded_at)
         hist = ((hist << 8) | sym) & 0xFFFFFFFFFFFF
     payload = enc.flush()
     return len(data).to_bytes(8, "big") + payload
@@ -276,6 +285,7 @@ def decompress(blob: bytes) -> bytes:
     for _ in range(n):
         excluded: set = set()
         sym = None
+        coded_at = 99
         for oi, (table, key) in enumerate(zip(model.tables, model._ctx_keys(hist))):
             stats = table.get(key)
             if not stats:
@@ -298,6 +308,7 @@ def decompress(blob: bytes) -> bytes:
                 dec.decode(found[1], found[2])
                 model.see.update(see_key, False)
                 sym = found[0]
+                coded_at = oi
                 break
             dec.decode(tot_inc, esc)  # escape
             model.see.update(see_key, True)
@@ -328,6 +339,6 @@ def decompress(blob: bytes) -> bytes:
                 dec.decode(idx, 1)
                 sym = rest[idx]
         out.append(sym)
-        model.update(hist, sym)
+        model.update(hist, sym, coded_at)
         hist = ((hist << 8) | sym) & 0xFFFFFFFFFFFF
     return bytes(out)
