@@ -31,17 +31,34 @@ CORPUS_MB = int(os.environ.get("NLZM_BENCH_MB", "8"))
 
 
 def build_corpus(n: int) -> bytes:
-    """Deterministic enwik-like mix: natural text + source + light noise."""
+    """Deterministic enwik-like mix, independent of repo file contents
+    (stable cache keys): Zipf-ish word text, XML-ish markup, tabular
+    records, and a slice of incompressible noise."""
     import random
 
-    parts = []
-    for p in [REPO / "SURVEY.md", REPO / "README.md", REPO / "BASELINE.md"]:
-        if p.exists():
-            parts.append(p.read_bytes())
-    for p in sorted((REPO / "nlzm_tpu").rglob("*.py")):
-        parts.append(p.read_bytes())
-    base = b"\n".join(parts)
     rng = random.Random(0xBEEF)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randrange(2, 10)))
+        for _ in range(4000)
+    ]
+    weights = [1.0 / (i + 1) for i in range(len(words))]
+    base = bytearray()
+    while len(base) < 1 << 20:
+        kind = rng.random()
+        if kind < 0.55:  # prose
+            sent = " ".join(rng.choices(words, weights)[0] for _ in range(rng.randrange(6, 18)))
+            base += (sent.capitalize() + ". ").encode()
+        elif kind < 0.75:  # markup
+            w = rng.choices(words, weights)[0]
+            base += f"<{w} id=\"{rng.randrange(10**6)}\">{rng.choices(words, weights)[0]}</{w}>\n".encode()
+        elif kind < 0.95:  # records
+            base += (
+                f"{rng.randrange(10**8):08d},{rng.choices(words, weights)[0]},"
+                f"{rng.randrange(10**6):06d},OK;\n"
+            ).encode()
+        else:  # noise
+            base += bytes(rng.randrange(256) for _ in range(rng.randrange(40, 200)))
+    base = bytes(base)
     out = bytearray()
     while len(out) < n:
         chunk = bytearray(base)
