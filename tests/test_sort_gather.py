@@ -1,0 +1,73 @@
+"""Unit tests for the packed-sort gather primitives and depth lifting."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nlzm_tpu.ops.sort_gather import PACK_MAX, compact_by_rank, gather_sorted
+
+
+def test_gather_sorted_matches_take_along_axis():
+    rng = np.random.default_rng(0)
+    B, N, Q = 5, 1000, 700
+    src = rng.integers(0, PACK_MAX, (B, N)).astype(np.int32)
+    idx = rng.integers(0, N, (B, Q)).astype(np.int32)
+    got = np.asarray(gather_sorted(jnp.asarray(src), jnp.asarray(idx)))
+    ref = np.take_along_axis(src, idx, axis=1)
+    assert np.array_equal(got, ref)
+
+
+def test_gather_sorted_max_width():
+    rng = np.random.default_rng(1)
+    B, N = 2, PACK_MAX
+    src = rng.integers(0, PACK_MAX, (B, N)).astype(np.int32)
+    idx = rng.integers(0, N, (B, N)).astype(np.int32)
+    got = np.asarray(gather_sorted(jnp.asarray(src), jnp.asarray(idx)))
+    assert np.array_equal(got, np.take_along_axis(src, idx, axis=1))
+
+
+def test_compact_by_rank():
+    rng = np.random.default_rng(2)
+    B, K = 4, 600
+    vals = rng.integers(0, PACK_MAX, (B, K)).astype(np.int32)
+    pred = rng.random((B, K)) < 0.4
+    rank = np.cumsum(pred, axis=1) - pred
+    out_w = 512
+    got = np.asarray(
+        compact_by_rank(
+            jnp.asarray(vals), jnp.asarray(rank.astype(np.int32)), jnp.asarray(pred), out_w
+        )
+    )
+    for b in range(B):
+        want = vals[b][pred[b]][:out_w]
+        assert np.array_equal(got[b, : len(want)], want)
+        assert (got[b, len(want) :] == 0).all()
+
+
+def test_lift_native_matches_python():
+    from nlzm_tpu import native
+    from nlzm_tpu.ops.encode_ops import lift_deep_matches, parse_blocks_device
+
+    if not native.available():
+        pytest.skip("native lib not built")
+
+    rng = np.random.default_rng(3)
+    # deep-chain friendly data: repeated phrases of phrases
+    seed = bytes(rng.integers(32, 127, 300).astype(np.uint8))
+    data = seed
+    while len(data) < 8192 * 2:
+        data = data + data[: len(data) // 2] + seed
+    data = data[: 8192 * 2]
+
+    from nlzm_tpu import native as nat
+
+    op_len, op_val = nat.parse_blocks(data, 8192, 13)
+    ol_n = np.ascontiguousarray(op_len, np.int32)
+    ov_n = np.ascontiguousarray(op_val, np.int32)
+    nat.lift_deep(ol_n, ov_n, 8192)
+    ol_p = np.ascontiguousarray(op_len, np.int32)
+    ov_p = np.ascontiguousarray(op_val, np.int32)
+    lift_deep_matches(ol_p, ov_p)
+    assert np.array_equal(ol_n, ol_p)
+    assert np.array_equal(ov_n, ov_p)
