@@ -37,23 +37,26 @@ def build_corpus(n: int) -> bytes:
     import random
 
     rng = random.Random(0xBEEF)
+    import itertools
+
     words = [
         "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randrange(2, 10)))
         for _ in range(4000)
     ]
-    weights = [1.0 / (i + 1) for i in range(len(words))]
+    cum = list(itertools.accumulate(1.0 / (i + 1) for i in range(len(words))))
+    pick = lambda: rng.choices(words, cum_weights=cum)[0]
     base = bytearray()
     while len(base) < 1 << 20:
         kind = rng.random()
         if kind < 0.55:  # prose
-            sent = " ".join(rng.choices(words, weights)[0] for _ in range(rng.randrange(6, 18)))
+            sent = " ".join(pick() for _ in range(rng.randrange(6, 18)))
             base += (sent.capitalize() + ". ").encode()
         elif kind < 0.75:  # markup
-            w = rng.choices(words, weights)[0]
-            base += f"<{w} id=\"{rng.randrange(10**6)}\">{rng.choices(words, weights)[0]}</{w}>\n".encode()
+            w = pick()
+            base += f"<{w} id=\"{rng.randrange(10**6)}\">{pick()}</{w}>\n".encode()
         elif kind < 0.95:  # records
             base += (
-                f"{rng.randrange(10**8):08d},{rng.choices(words, weights)[0]},"
+                f"{rng.randrange(10**8):08d},{pick()},"
                 f"{rng.randrange(10**6):06d},OK;\n"
             ).encode()
         else:  # noise
@@ -75,7 +78,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from nlzm_tpu.ops.wide_decode import decode_wide_staged, prepare_wide
+    from nlzm_tpu.ops.wide_decode import decode_wide_staged, prepare_wide, rounds_hint_of
     from nlzm_tpu.parallel.blocks import block_payloads, encode_container, parse_container
 
     data = build_corpus(CORPUS_MB * 1_000_000)
@@ -97,6 +100,7 @@ def main() -> None:
 
     info = parse_container(container)
     staged = prepare_wide(block_payloads(container, info), info.wide_priors)
+    staged["rounds_hint"] = rounds_hint_of(max(info.total_reads, default=0))
 
     # warmup/compile + full correctness check (untimed)
     out, produced = decode_wide_staged(staged, info.block_size)

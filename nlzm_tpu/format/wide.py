@@ -501,8 +501,10 @@ class _PlaneDecoder:
         return [o[: self.n] for o in out]
 
 
-def decode_wide_block(payload: bytes):
+def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
     """Host reference decode of one wide block -> (op_len, op_val) arrays."""
+    priors = parse_priors(priors_blob) if priors_blob else None
+    prior_of = lambda name: priors[name] if priors else None
     counts, sizes = [], []
     off = 0
     for _ in range(N_PLANES):
@@ -522,16 +524,16 @@ def decode_wide_block(payload: bytes):
             np.zeros(spec.lanes, np.int64) if r == 0 else ys[0]
         )
 
-    tok = _PlaneDecoder(PLANES[0], streams[0], counts[0]).decode(
+    tok = _PlaneDecoder(PLANES[0], streams[0], counts[0], prior_of("tok")).decode(
         simple_rows(PLANES[0])
     )[0]
-    lit_hi, lit_lo = _PlaneDecoder(PLANES[1], streams[1], counts[1]).decode(
+    lit_hi, lit_lo = _PlaneDecoder(PLANES[1], streams[1], counts[1], prior_of("lit")).decode(
         simple_rows(PLANES[1])
     )
-    len_sym = _PlaneDecoder(PLANES[2], streams[2], counts[2]).decode(
+    len_sym = _PlaneDecoder(PLANES[2], streams[2], counts[2], prior_of("len")).decode(
         simple_rows(PLANES[2])
     )[0]
-    lex_hi, lex_lo = _PlaneDecoder(PLANES[3], streams[3], counts[3]).decode(
+    lex_hi, lex_lo = _PlaneDecoder(PLANES[3], streams[3], counts[3], prior_of("lex")).decode(
         simple_rows(PLANES[3])
     )
 
@@ -562,7 +564,7 @@ def decode_wide_block(payload: bytes):
         seg[: len(seg_src)] = seg_src
         return seg if r == 0 else seg * 8 + ys[0]
 
-    dst_hi, dst_lo = _PlaneDecoder(spec_d, streams[4], counts[4]).decode(dst_rows)
+    dst_hi, dst_lo = _PlaneDecoder(spec_d, streams[4], counts[4], prior_of("dst")).decode(dst_rows)
 
     # raw bits
     bit_arr = np.unpackbits(np.frombuffer(bits, np.uint8))

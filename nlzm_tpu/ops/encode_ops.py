@@ -757,8 +757,10 @@ def lift_deep_matches(op_len, op_val, cap: int = 15):
     ceil(log2(cap))+1 rounds - the decoder itself is unchanged.
 
     op_len/op_val: [T, B] numpy command arrays (modified in place).
+    Returns per-block max chain depth like native.lift_deep.
     """
     T, B = op_len.shape
+    out_depths = np.zeros(B, np.int32)
     for b in range(B):
         col = op_len[:, b]
         n = int(np.argmax(col < 0)) if (col < 0).any() else T
@@ -801,7 +803,9 @@ def lift_deep_matches(op_len, op_val, cap: int = 15):
             reps = -(-l // span)
             depth[m : m + l] = np.tile(dd, reps)[:l]
             cmd_at[m : m + l] = k
-    return op_len, op_val
+        if n:
+            out_depths[b] = depth[: int(ends[-1])].max()
+    return out_depths
 
 
 def parse_blocks_device(data: bytes, block_size: int, hist_bits: int, parser: str = "optimal"):
@@ -829,11 +833,11 @@ def parse_blocks_device(data: bytes, block_size: int, hist_bits: int, parser: st
     from .. import native
 
     if native.available():
-        native.lift_deep(op_len_h, op_val_h, block_size)
+        depths = native.lift_deep(op_len_h, op_val_h, block_size)
     else:
-        lift_deep_matches(op_len_h, op_val_h)
+        depths = lift_deep_matches(op_len_h, op_val_h)
     op_rep = repify(jnp.asarray(op_len_h), jnp.asarray(op_val_h))
-    return op_len_h, op_val_h, np.asarray(op_rep)
+    return op_len_h, op_val_h, np.asarray(op_rep), depths
 
 
 def encode_blocks_tpu(

@@ -330,6 +330,15 @@ def _pack_words(chunks, min_words=4):
     return a4[:, :, 0] | (a4[:, :, 1] << 8) | (a4[:, :, 2] << 16) | (a4[:, :, 3] << 24)
 
 
+def rounds_hint_of(max_depth: int):
+    """Exact pointer-doubling round budget for a container's max chain
+    depth (the per-block depth rides the container's reads slot); None
+    when the depth is unknown (legacy containers)."""
+    if max_depth <= 0:
+        return None
+    return max(0, max_depth - 1).bit_length()
+
+
 def prepare_wide(payloads, priors_blob: bytes | None = None):
     """Host prep: parse block headers, pack plane streams, upload.
 
@@ -433,8 +442,7 @@ def decode_wide_blocks(
     expander run its exact round budget instead of detecting convergence.
     """
     staged = prepare_wide(payloads, priors_blob)
-    if max_depth > 0:
-        staged["rounds_hint"] = max(0, (max_depth - 1)).bit_length()
+    staged["rounds_hint"] = rounds_hint_of(max_depth)
     out, produced = decode_wide_staged(staged, block_size)
     out_np = np.asarray(out).reshape(-1)
     return out_np[: staged["B"] * block_size].tobytes()[:total_len]

@@ -111,7 +111,7 @@ def encode_container(
             else:
                 from ..ops.encode_ops import parse_blocks_device
 
-                op_len, op_val, op_rep = parse_blocks_device(
+                op_len, op_val, op_rep, depths = parse_blocks_device(
                     data, block_size, hist_bits, parser
                 )
             payloads, priors_blob = encode_wide_blocks(op_len, op_val, op_rep)

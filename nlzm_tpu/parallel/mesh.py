@@ -95,9 +95,9 @@ def decode_wide_sharded(data: bytes, mesh: Mesh) -> bytes:
         payloads.append(b"\x00" * HDR_BYTES)
 
     staged = prepare_wide(payloads, info.wide_priors)
-    max_depth = max(info.total_reads, default=0)
-    if max_depth > 0:
-        staged["rounds_hint"] = max(0, max_depth - 1).bit_length()
+    from ..ops.wide_decode import rounds_hint_of
+
+    staged["rounds_hint"] = rounds_hint_of(max(info.total_reads, default=0))
     sharding = NamedSharding(mesh, P(BLOCK_AXIS))
     staged["n_sym"] = [jax.device_put(a, sharding) for a in staged["n_sym"]]
     staged["words"] = [jax.device_put(a, sharding) for a in staged["words"]]

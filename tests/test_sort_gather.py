@@ -53,21 +53,24 @@ def test_lift_native_matches_python():
         pytest.skip("native lib not built")
 
     rng = np.random.default_rng(3)
-    # deep-chain friendly data: repeated phrases of phrases
+    # deep chains: every append copies bytes that were themselves just
+    # copied, so nesting depth grows linearly with the append count
     seed = bytes(rng.integers(32, 127, 300).astype(np.uint8))
-    data = seed
+    data = bytearray(seed)
     while len(data) < 8192 * 2:
-        data = data + data[: len(data) // 2] + seed
-    data = data[: 8192 * 2]
+        data += data[-37:]
+        data += bytes(rng.integers(32, 127, 2).astype(np.uint8))
+    data = bytes(data[: 8192 * 2])
 
     from nlzm_tpu import native as nat
 
     op_len, op_val = nat.parse_blocks(data, 8192, 13)
-    ol_n = np.ascontiguousarray(op_len, np.int32)
-    ov_n = np.ascontiguousarray(op_val, np.int32)
-    nat.lift_deep(ol_n, ov_n, 8192)
-    ol_p = np.ascontiguousarray(op_len, np.int32)
-    ov_p = np.ascontiguousarray(op_val, np.int32)
-    lift_deep_matches(ol_p, ov_p)
+    ol_n, ov_n = op_len.copy(), op_val.copy()
+    d_n = nat.lift_deep(ol_n, ov_n, 8192)
+    ol_p, ov_p = op_len.copy(), op_val.copy()
+    d_p = lift_deep_matches(ol_p, ov_p)
     assert np.array_equal(ol_n, ol_p)
     assert np.array_equal(ov_n, ov_p)
+    assert np.array_equal(d_n, d_p)
+    # the data above must actually exercise lifting
+    assert not np.array_equal(ol_n, op_len) or not np.array_equal(ov_n, op_val)

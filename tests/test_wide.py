@@ -35,6 +35,21 @@ def test_host_roundtrip_commands():
     assert np.array_equal(dv, op_val)
 
 
+def test_host_roundtrip_with_priors():
+    """The host reference decoder must mirror the priors seeding exactly
+    (format/wide.py is format-defining for all three implementations)."""
+    op_len, op_val = _synthetic_cmds(2000, seed=7)
+    op_rep = wide.classify_reps_wide(op_len, op_val)
+    payloads, blob = wide.encode_wide_blocks(
+        np.asarray(op_len)[:, None], np.asarray(op_val)[:, None],
+        np.asarray(op_rep)[:, None], with_priors=True,
+    )
+    assert blob
+    dl, dv = wide.decode_wide_block(payloads[0], blob)
+    assert np.array_equal(dl, op_len)
+    assert np.array_equal(dv, op_val)
+
+
 def test_device_plane_matches_host_encoder():
     import jax.numpy as jnp
 
@@ -121,3 +136,12 @@ def test_wide_sharded_mesh_roundtrip(corpus_text):
     c = encode_container(data, block_size=4096, parser="optimal", profile="wide")
     mesh = make_mesh()
     assert decode_wide_sharded(c, mesh) == data
+
+
+def test_wide_greedy_device_parse(corpus_samples):
+    """The device-parse branch (greedy parser) must also produce valid
+    wide containers (regression: depth meta was only set on the native
+    path)."""
+    data = corpus_samples["text"][:6000]
+    c = encode_container(data, block_size=4096, parser="greedy", profile="wide")
+    assert decode_container(c) == data
