@@ -1,0 +1,330 @@
+"""Batched TPU PPM-class codec: segment-parallel order-1 context mixing.
+
+TPU counterpart of the PPM research codec (research/ppm.py): where the
+host codec walks a per-symbol-adaptive order-6 hash trie (inherently
+sequential, like the reference's PPMd var.I), this one restructures
+context modeling for lane-parallel decode, the same way the wide LZ
+profile restructures NLZM:
+
+- **Segments, not interleaves.** Each block splits into L=32 contiguous
+  segments, one per rANS lane. A lane decodes its segment sequentially,
+  so its order-1 context (the previous byte) is its OWN previous output -
+  no cross-lane dependency inside a step. (Round-robin interleaving would
+  make byte s's context byte s-1, owned by the neighboring lane in the
+  same step - circular.)
+- **Order-1 nibble model.** Two reads per byte: hi nibble with the
+  previous byte's hi nibble as context (16 rows x 16), lo nibble with
+  the current hi nibble as context (16 rows x 16) - coarse contexts keep
+  the per-chunk counts dense enough to adapt. Tables are chunk-static and
+  rebuilt from realized counts on both sides (warmup 2/2/4/8 then 16
+  steps, carry halving) - the wide profile's adaptation scheme.
+- **Same rANS.** 14-bit CDFs, 16-bit renorm, 4-byte LE lane seeds, renorm
+  pairs in exact decode order (step, read, lane).
+
+Container: b"NLZC" | u8 ver | u8 lanes | u32be block_size |
+u64be total_len | u32be num_blocks | per block u32be stream_bytes |
+streams. Per-lane segment lengths derive from the block length.
+
+Research-grade like the reference's research tree: it demonstrates the
+batched formulation; the order-6 host codec remains the ratio reference.
+"""
+
+import numpy as np
+
+from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
+from ..format.wide import build_cdf, chunk_schedule, padded_steps
+
+MAGIC = b"NLZC"
+VERSION = 1
+LANES = 32
+DEFAULT_BLOCK = 32768
+ROWS = 16
+BLEND = 2  # uniform prior mass per cell at each rebuild (guards noise rows)
+
+
+def _seg_lens(nb: int):
+    """Per-lane segment lengths for a block of nb bytes."""
+    S = -(-nb // LANES) if nb else 0
+    lens = np.clip(nb - np.arange(LANES) * S, 0, max(S, 1)).astype(np.int64)
+    return S, lens
+
+
+def _rows_of(prev, hi):
+    """(row0, row1) context rows given previous byte and current hi."""
+    return prev >> 4, hi
+
+
+def encode_block(block: bytes) -> bytes:
+    """Encode one block -> stream bytes (seeds + pairs, decode order)."""
+    nb = len(block)
+    S, lens = _seg_lens(nb)
+    steps = padded_steps(S, 1) if S else padded_steps(1, 1)
+    data = np.frombuffer(block, np.uint8).astype(np.int64)
+
+    # per (lane, t) symbols and contexts
+    sym_hi = np.zeros((steps, LANES), np.int64)
+    sym_lo = np.zeros((steps, LANES), np.int64)
+    row0 = np.zeros((steps, LANES), np.int64)
+    row1 = np.zeros((steps, LANES), np.int64)
+    active = np.zeros((steps, LANES), bool)
+    for l in range(LANES):
+        n = int(lens[l])
+        if n == 0:
+            continue
+        seg = data[l * S : l * S + n]
+        prev = np.concatenate([[0], seg[:-1]])
+        hi, lo = seg >> 4, seg & 15
+        sym_hi[:n, l] = hi
+        sym_lo[:n, l] = lo
+        r0, r1 = _rows_of(prev, hi)
+        row0[:n, l] = r0
+        row1[:n, l] = r1
+        active[:n, l] = True
+
+    # forward table simulation
+    uniform = np.zeros(17, np.int64)
+    uniform[1:] = np.arange(1, 17) * (CDF_SCALE_TOTAL // 16)
+    t_hi = np.broadcast_to(uniform, (ROWS, 17)).copy()
+    t_lo = t_hi.copy()
+    c_hi = np.zeros((ROWS, 16), np.int64)
+    c_lo = np.zeros((ROWS, 16), np.int64)
+    carry_hi = np.zeros((ROWS, 16), np.int64)
+    carry_lo = np.zeros((ROWS, 16), np.int64)
+    boundary_after = set()
+    acc = 0
+    for c in chunk_schedule(steps):
+        acc += c
+        boundary_after.add(acc - 1)
+
+    starts = np.zeros((steps, 2, LANES), np.int64)
+    freqs = np.ones((steps, 2, LANES), np.int64)
+    for t in range(steps):
+        a = active[t]
+        for r, (tbl, cnt, rows, sym) in enumerate(
+            [(t_hi, c_hi, row0, sym_hi), (t_lo, c_lo, row1, sym_lo)]
+        ):
+            rr, yy = rows[t], sym[t]
+            st = tbl[rr, yy]
+            fq = tbl[rr, yy + 1] - st
+            starts[t, r] = np.where(a, st, 0)
+            freqs[t, r] = np.where(a, fq, 1)
+            np.add.at(cnt, (rr[a], yy[a]), 1)
+        if t in boundary_after:
+            carry_hi = (carry_hi >> 1) + c_hi
+            carry_lo = (carry_lo >> 1) + c_lo
+            c_hi[:] = 0
+            c_lo[:] = 0
+            t_hi = build_cdf(carry_hi + BLEND, 16)
+            t_lo = build_cdf(carry_lo + BLEND, 16)
+
+    # backward interleaved rANS
+    x = np.full(LANES, 1 << 16, np.uint64)
+    pair_all = np.zeros((steps * 2, LANES), np.uint16)
+    mask_all = np.zeros((steps * 2, LANES), bool)
+    for t in range(steps - 1, -1, -1):
+        for r in (1, 0):
+            a = active[t]
+            fq = freqs[t, r].astype(np.uint64)
+            st = starts[t, r].astype(np.uint64)
+            over = a & (x >= (fq << 18))
+            pair_all[t * 2 + r] = (x & 0xFFFF).astype(np.uint16)
+            mask_all[t * 2 + r] = over
+            x1 = np.where(over, x >> 16, x)
+            x2 = ((x1 // fq) << CDF_SCALE_BITS) + (x1 % fq) + st
+            x = np.where(a, x2, x)
+
+    out = x.astype("<u4").view(np.uint8).tobytes()
+    out += pair_all[mask_all].astype(">u2").tobytes()
+    return out
+
+
+def compress(data: bytes, block_size: int = DEFAULT_BLOCK) -> bytes:
+    nblocks = -(-len(data) // block_size) if data else 0
+    streams = [
+        encode_block(data[b * block_size : (b + 1) * block_size])
+        for b in range(nblocks)
+    ]
+    out = bytearray()
+    out += MAGIC
+    out += bytes([VERSION, LANES])
+    out += block_size.to_bytes(4, "big")
+    out += len(data).to_bytes(8, "big")
+    out += nblocks.to_bytes(4, "big")
+    for s in streams:
+        out += len(s).to_bytes(4, "big")
+    for s in streams:
+        out += s
+    return bytes(out)
+
+
+def decompress(blob: bytes) -> bytes:
+    """Batched device decode of an NLZC container."""
+    import jax
+    import jax.numpy as jnp
+
+    assert blob[:4] == MAGIC and blob[4] == VERSION and blob[5] == LANES
+    block_size = int.from_bytes(blob[6:10], "big")
+    total_len = int.from_bytes(blob[10:18], "big")
+    nblocks = int.from_bytes(blob[18:22], "big")
+    off = 22
+    sizes = []
+    for _ in range(nblocks):
+        sizes.append(int.from_bytes(blob[off : off + 4], "big"))
+        off += 4
+    streams = []
+    for sz in sizes:
+        streams.append(blob[off : off + sz])
+        off += sz
+    if not nblocks:
+        return b""
+
+    B = nblocks
+    wmax = (max(len(s) for s in streams) + 3) // 4 + 2
+    arr = np.zeros((B, 4 * wmax), np.uint8)
+    for b, s in enumerate(streams):
+        arr[b, : len(s)] = np.frombuffer(s, np.uint8)
+    a4 = arr.reshape(B, wmax, 4).astype(np.uint32)
+    words = jnp.asarray(
+        a4[:, :, 0] | (a4[:, :, 1] << 8) | (a4[:, :, 2] << 16) | (a4[:, :, 3] << 24)
+    )
+
+    # per-block per-lane segment lengths (each block segments by its OWN
+    # length, matching the encoder; the last block may be short)
+    nb = np.minimum(
+        np.full(B, block_size, np.int64), total_len - np.arange(B) * block_size
+    )
+    S_b = -(-nb // LANES)
+    seg = np.clip(nb[:, None] - np.arange(LANES)[None, :] * S_b[:, None], 0, S_b[:, None])
+    steps = padded_steps(int(S_b.max()), 1)
+    out = _decode_blocks(words, jnp.asarray(seg.astype(np.int32)), steps)
+    out_np = np.asarray(out)  # [B, steps, LANES]
+
+    res = bytearray()
+    for b in range(B):
+        segs = out_np[b].T  # [LANES, steps]
+        for l in range(LANES):
+            n = int(seg[b, l])
+            res += segs[l, :n].astype(np.uint8).tobytes()
+    return bytes(res[:total_len])
+
+
+def _decode_blocks(words, seg_lens, steps: int):
+    """Device scan: decode all blocks' lanes in lockstep -> bytes
+    [B, steps, LANES]."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    _I32 = jnp.int32
+    _U32 = jnp.uint32
+    B, W = words.shape
+    L = LANES
+    win_words = (2 * L * 2) // 4 + 2
+
+    uniform = np.zeros(17, np.int32)
+    uniform[1:] = np.arange(1, 17) * (CDF_SCALE_TOTAL // 16)
+    tables0 = jnp.broadcast_to(jnp.asarray(uniform), (B, ROWS, 17)).astype(_I32)
+
+    def build_jnp(carry):
+        carry = carry + BLEND
+        tot = jnp.sum(carry, axis=-1, keepdims=True)
+        freq = 1 + (carry * (CDF_SCALE_TOTAL - 16)) // (tot + 1)
+        fences = jnp.cumsum(freq, axis=-1)[..., :-1]
+        return jnp.concatenate(
+            [
+                jnp.zeros(carry.shape[:-1] + (1,), _I32),
+                fences,
+                jnp.full(carry.shape[:-1] + (1,), CDF_SCALE_TOTAL, _I32),
+            ],
+            axis=-1,
+        )
+
+    widx = jnp.arange(win_words, dtype=_I32)
+
+    def read_one(x, cursor, win, win_base, tables, counts, row, a):
+        f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
+        row_oh = jax.nn.one_hot(row, ROWS, dtype=_I32)
+        tbl = jnp.einsum("blr,brw->blw", row_oh, tables)
+        cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)
+        dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]
+        y = jnp.sum(cmp, axis=2)
+        start = jnp.sum(cmp * dtbl, axis=2)
+        cmp1 = jnp.concatenate([jnp.ones((B, L, 1), _I32), cmp[:, :, :-1]], axis=2)
+        y16 = cmp1 - cmp
+        freq = jnp.sum(y16 * dtbl, axis=2)
+
+        x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
+        renorm = a & (x2 < jnp.asarray(1 << 16, _U32))
+        rank = jnp.cumsum(renorm.astype(_I32), axis=1) - renorm.astype(_I32)
+        h = (cursor[:, None] + 2 * rank - win_base[:, None]) >> 1
+        hsel = jax.nn.one_hot(jnp.clip(h, 0, 2 * win_words - 1), 2 * win_words, dtype=_I32)
+        win16 = jnp.stack([win & jnp.asarray(0xFFFF, _U32), win >> 16], axis=2).reshape(
+            B, 2 * win_words
+        )
+        pair_le = jnp.einsum("blw,bw->bl", hsel, win16.astype(_I32)).astype(_U32)
+        pair = ((pair_le & jnp.asarray(0xFF, _U32)) << 8) | (pair_le >> 8)
+        x3 = jnp.where(renorm, (x2 << 16) | pair, x2)
+        x = jnp.where(a, x3, x)
+        cursor = cursor + 2 * jnp.sum(renorm.astype(_I32), axis=1)
+
+        y = jnp.where(a, y, 0)
+        y16a = y16 * a.astype(_I32)[:, :, None]
+        counts = counts + jnp.einsum("blr,bls->brs", row_oh, y16a)
+        return y, x, cursor, counts
+
+    lane_iota = jnp.arange(L, dtype=_I32)
+
+    def step_body(carry, a):
+        x, cursor, prev, th, tl, ch, cl = carry
+        base = cursor >> 2
+        win = jnp.take_along_axis(
+            words, jnp.clip(base[:, None] + widx[None, :], 0, W - 1), axis=1
+        )
+        win_base = base << 2
+        hi, x, cursor, ch = read_one(x, cursor, win, win_base, th, ch, prev >> 4, a)
+        lo, x, cursor, cl = read_one(x, cursor, win, win_base, tl, cl, hi, a)
+        byte = (hi << 4) | lo
+        prev = jnp.where(a, byte, prev)
+        return (x, cursor, prev, th, tl, ch, cl), byte
+
+    def chunk_body(carry, xs):
+        x, cursor, prev, th, tl, carry_h, carry_l = carry
+        act = xs  # [clen, B, L]
+        ch = jnp.zeros((B, ROWS, 16), _I32)
+        cl = jnp.zeros((B, ROWS, 16), _I32)
+        (x, cursor, prev, _, _, ch, cl), ys = jax.lax.scan(
+            step_body, (x, cursor, prev, th, tl, ch, cl), act
+        )
+        carry_h = (carry_h >> 1) + ch
+        carry_l = (carry_l >> 1) + cl
+        return (x, cursor, prev, build_jnp(carry_h), build_jnp(carry_l), carry_h, carry_l), ys
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(words_, seg_lens_, steps: int):
+        t_iota = jnp.arange(steps, dtype=_I32)
+        active_t = t_iota[:, None, None] < seg_lens_[None, :, :]
+        seeds = words_[:, :L].astype(_U32)
+        cursor0 = jnp.full((B,), 4 * L, _I32)
+        prev0 = jnp.zeros((B, L), _I32)
+        carry = (
+            seeds, cursor0, prev0, tables0, tables0,
+            jnp.zeros((B, ROWS, 16), _I32), jnp.zeros((B, ROWS, 16), _I32),
+        )
+        schedule = chunk_schedule(steps)
+        runs = []
+        for clen in schedule:
+            if runs and runs[-1][0] == clen:
+                runs[-1][1] += 1
+            else:
+                runs.append([clen, 1])
+        parts = []
+        t0 = 0
+        for clen, count in runs:
+            act = active_t[t0 : t0 + clen * count].reshape(count, clen, B, L)
+            carry, ys = jax.lax.scan(chunk_body, carry, act)
+            parts.append(ys.reshape(count * clen, B, L))
+            t0 += clen * count
+        return jnp.concatenate(parts, axis=0).transpose(1, 0, 2)  # [B, steps, L]
+
+    return run(words, seg_lens, steps)

@@ -1,0 +1,27 @@
+"""Batched TPU PPM-class codec (segment-parallel order-1) round trips."""
+
+import pytest
+
+from nlzm_tpu.research import ppm_tpu
+
+
+@pytest.mark.parametrize("name", ["tiny", "repetitive", "zeros", "empty"])
+def test_roundtrip_small(corpus_samples, name):
+    data = corpus_samples[name]
+    blob = ppm_tpu.compress(data, block_size=4096)
+    assert ppm_tpu.decompress(blob) == data
+
+
+def test_roundtrip_text_multiblock(corpus_text):
+    data = corpus_text(20000)
+    blob = ppm_tpu.compress(data, block_size=8192)
+    assert ppm_tpu.decompress(blob) == data
+    # order-1 context mixing compresses text despite lane parallelism
+    assert len(blob) < len(data) * 0.8
+
+
+def test_roundtrip_random(corpus_samples):
+    data = corpus_samples["random"][:3000]
+    blob = ppm_tpu.compress(data, block_size=4096)
+    assert ppm_tpu.decompress(blob) == data
+    assert len(blob) < len(data) * 1.15
