@@ -34,3 +34,21 @@ def test_native_large_window_rebase_parity(oracle_runner, corpus_text):
     ours = encode_bytes(data, 17, parser="optimal", engine="native")
     ref = oracle_runner.compress(data, window_bits=17)
     assert ours == ref
+
+
+def test_junk_streams_raise_cleanly():
+    """Garbage inputs must raise (FormatError/IndexError/ValueError),
+    never hang or decode silently."""
+    import random
+
+    import pytest
+
+    from nlzm_tpu.codec import decode_bytes
+
+    rng = random.Random(1)
+    for trial in range(20):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(8, 1500)))
+        if trial % 2:
+            junk = (16).to_bytes(2, "big") + (14).to_bytes(2, "big") + junk
+        with pytest.raises(Exception):
+            decode_bytes(junk)
