@@ -27,6 +27,9 @@ streams. Per-lane segment lengths derive from the block length.
 
 Research-grade like the reference's research tree: it demonstrates the
 batched formulation; the order-6 host codec remains the ratio reference.
+Measured (tunneled v5e, 2 MB mixed corpus, 61 blocks): ratio 0.70,
+decode ~1.4 MB/s end-to-end API - per-byte cost scales down with block
+count like the LZ pipelines (this run is latency-dominated at B=61).
 """
 
 import numpy as np
