@@ -145,3 +145,56 @@ def test_wide_greedy_device_parse(corpus_samples):
     data = corpus_samples["text"][:6000]
     c = encode_container(data, block_size=4096, parser="greedy", profile="wide")
     assert decode_container(c) == data
+
+
+def test_three_way_differential_with_priors():
+    """Host decoder and device decoder must produce identical command
+    arrays from the same priors-bearing payloads (mirror-exactness of the
+    three format implementations)."""
+    import numpy as np
+
+    from nlzm_tpu.ops.wide_decode import decode_wide_blocks
+
+    T = 900
+    cols = []
+    for seed in (11, 12, 13):
+        ol, ov = _synthetic_cmds(T, seed=seed)
+        cols.append((ol, ov))
+    # ragged: trim each block differently
+    trims = (T, 700, 123)
+    op_len = np.full((T, 3), -1, np.int64)
+    op_val = np.zeros((T, 3), np.int64)
+    for b, ((ol, ov), n) in enumerate(zip(cols, trims)):
+        op_len[:n, b] = ol[:n]
+        op_val[:n, b] = ov[:n]
+        op_rep_b = wide.classify_reps_wide(ol[:n], ov[:n])
+    op_rep = np.full((T, 3), -1, np.int64)
+    for b, ((ol, ov), n) in enumerate(zip(cols, trims)):
+        op_rep[:n, b] = wide.classify_reps_wide(ol[:n], ov[:n])
+
+    payloads, blob = wide.encode_wide_blocks(op_len, op_val, op_rep, with_priors=True)
+
+    # host mirror per block
+    for b, n in enumerate(trims):
+        dl, dv = wide.decode_wide_block(payloads[b], blob)
+        assert np.array_equal(dl[:n], op_len[:n, b])
+        assert np.array_equal(dv[:n], op_val[:n, b])
+
+    # device path end-to-end: expand both ways and compare bytes
+    from nlzm_tpu import native
+
+    if native.available():
+        N = 1 << 15
+        outs = []
+        for b, n in enumerate(trims):
+            outs.append(
+                native.expand_ops(
+                    np.ascontiguousarray(op_len[:n, b].astype(np.int32)),
+                    np.ascontiguousarray(op_val[:n, b].astype(np.int32)),
+                    N,
+                )
+            )
+        # device output is slotted at block_size boundaries
+        expected = b"".join(o.ljust(N, b"\x00") for o in outs)
+        got = decode_wide_blocks(payloads, N, 3 * N, blob)
+        assert got == expected
