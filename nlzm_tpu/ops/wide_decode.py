@@ -248,20 +248,23 @@ def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width):
 
 
 def _bits_fetch(bit_bytes, offs, width):
-    """MSB-first field of `width` bits at bit offset `offs` (both [B, Tc])."""
+    """MSB-first field of `width` bits at bit offset `offs` (both [B, Tc]).
+
+    Three byte fetches suffice: the 32 KiB block cap bounds distance
+    extras at 13 bits, so width + 7 offset bits <= 20 < 24.
+    """
     byte0 = offs >> 3
     bs = [
         gather_sorted(bit_bytes, jnp.clip(byte0 + i, 0, bit_bytes.shape[1] - 1))
-        for i in range(4)
+        for i in range(3)
     ]
     word = (
         (bs[0].astype(_U32) << 24)
         | (bs[1].astype(_U32) << 16)
         | (bs[2].astype(_U32) << 8)
-        | bs[3].astype(_U32)
     )
     sh = (offs & 7).astype(_U32)
-    w = jnp.clip(width, 0, 24).astype(_U32)
+    w = jnp.clip(width, 0, 16).astype(_U32)
     v = ((word << sh) & jnp.asarray(0xFFFFFFFF, _U32)) >> (
         jnp.asarray(32, _U32) - jnp.maximum(w, 1)
     )
@@ -294,7 +297,6 @@ def assemble_post_dst(
 
     # rep resolution: r-th most recent dict distance (virtual history
     # 1,2,3,4 before the first dict command)
-    n_dict = jnp.sum(is_dict.astype(_I32), axis=1, keepdims=True)
     D = compact_by_rank(delta_dict, d_rank, is_dict, Tc)
     j = d_rank - 1 - rep_idx
     delta_rep = jnp.where(
