@@ -329,6 +329,9 @@ static void encode_frames_optimal(const u8* src, i64 n, int hist_bits, std::vect
       u32 to = parser->cell[local].link;
       const ParseCell& target = parser->cell[to];
       stats.cmds++;
+#ifdef NLZMX_DUMP_OPS
+      fprintf(stderr, "%u %d %u %u\n", d.hist_pos, target.cmd, target.len, target.delta);
+#endif
       if (target.cmd == 0) {
         int y = d.at(d.hist_pos);
         emit_literal(frame, m, y);

@@ -233,7 +233,11 @@ struct RkFinder {
       u32 row = table[rh >> hash_shift];
       u32 sp = row & window_mask;
       if ((row >> window_bits) == (rh & check_mask) && sp < p && p - sp <= d.mask) {
-        u32 max_len = d.look_len + d.hist_pos - p;
+        // Parity quirk: the reference passes this u32 into a u16 parameter
+        // (NLZM.cpp:1101 -> MatchLengthSigned, :854), truncating mod 65536
+        // when the lookahead exceeds 64 KiB (frame_bits 17). Long-repetition
+        // carries must clip identically or parses diverge at window >= 19.
+        u32 max_len = u32(u16(d.look_len + d.hist_pos - p));
         u32 mlen = d.match_len(sp, p, max_len);
         if (mlen >= carry_len && mlen >= match_min_for(p - sp)) {
           mt.update(p - sp, mlen < kMatchMax ? mlen : kMatchMax);

@@ -257,7 +257,11 @@ class RabinKarpMatcher:
             row = self.table[rh >> self.hash_shift]
             sp = row & self.window_mask
             if (row >> self.window_bits) == (rh & self.hash_mask) and sp < p and p - sp <= hmask:
-                max_len = d.lookahead_len + hp - p
+                # Parity quirk: the reference passes this u32 into a u16
+                # parameter (NLZM.cpp:1101 -> MatchLengthSigned :854), so the
+                # verification window truncates mod 65536 once the lookahead
+                # exceeds 64 KiB (frame_bits 17, i.e. window >= 19).
+                max_len = (d.lookahead_len + hp - p) & 0xFFFF
                 mlen = d.match_length(sp, p, max_len)
                 if mlen >= self.carry_len and mlen >= get_match_min(p - sp):
                     mt.update(p - sp, min(mlen, MATCH_MAX))
