@@ -4,6 +4,7 @@
 // 1711-2039 (drivers); output bytes match the reference encoder's.
 #include <atomic>
 #include <cstdio>
+#include <functional>
 #include <memory>
 #include <thread>
 
@@ -848,6 +849,162 @@ void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, 
   };
   for (int t = 0; t < threads; t++) pool.emplace_back(work);
   for (auto& t : pool) t.join();
+}
+
+// Hard-cap literal-ancestor chain depth by lifting AND splitting matches.
+// Unlike nlzmx_lift_deep (which stops when a source span straddles a
+// command boundary), this splits the match at source-command boundaries
+// so every piece can keep lifting; pieces that cannot reach the cap
+// (length below the lifted distance's match minimum) degrade to
+// literals read from the original bytes. Guarantees depth <= cap for
+// every block, making the TPU expander's doubling-round budget exact:
+// ceil(log2(cap)) rounds. Overlapping matches (l > d) collapse to
+// depth(period)+1 via the decoder's modular parents; their head period
+// is recursively bounded to cap-1 when needed.
+//
+// op arrays are [B, t_cap] row-major (block-contiguous); src is the
+// original input so pieces can fall back to literals. Returns 1 if any
+// block overflows t_cap (caller re-runs with more headroom).
+int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size,
+                     int* op_len, int* op_val, long long t_cap, long long B,
+                     int cap, int threads, int* out_depth) {
+  if (threads < 1) threads = 1;
+  if (cap < 1) cap = 1;
+  std::vector<std::thread> pool;
+  std::atomic<long long> next{0};
+  std::atomic<int> err{0};
+
+  auto work = [&]() {
+    std::vector<int> depth((size_t)block_size), cmd_at((size_t)block_size);
+    std::vector<int> in_len, in_val, o_len, o_val;
+    for (;;) {
+      long long b = next.fetch_add(1);
+      if (b >= B) return;
+      const unsigned char* blk = src + b * block_size;
+      long long blk_len = n - b * block_size;
+      if (blk_len > block_size) blk_len = block_size;
+      int* ol = op_len + b * t_cap;
+      int* ov = op_val + b * t_cap;
+
+      long long T_in = 0;
+      while (T_in < t_cap && ol[T_in] >= 0) T_in++;
+      in_len.assign(ol, ol + T_in);
+      in_val.assign(ov, ov + T_in);
+      o_len.clear();
+      o_val.clear();
+      std::fill(depth.begin(), depth.end(), 0);
+      std::fill(cmd_at.begin(), cmd_at.end(), 0);
+
+      long long pos = 0;
+      int blk_depth = 0;
+
+      auto emit_lit = [&](int y) {
+        o_len.push_back(0);
+        o_val.push_back(y);
+        if (pos < block_size) {
+          depth[pos] = 0;
+          cmd_at[pos] = (int)o_len.size() - 1;
+        }
+        pos++;
+      };
+      auto emit_match = [&](int d, int l) {
+        o_len.push_back(l);
+        o_val.push_back(d);
+        int span = d < l ? d : l;
+        long long s = pos - d;
+        for (int i = 0; i < l && pos + i < block_size; i++) {
+          int dp = depth[s + (i % span)] + 1;
+          depth[pos + i] = dp;
+          if (dp > blk_depth) blk_depth = dp;
+          cmd_at[pos + i] = (int)o_len.size() - 1;
+        }
+        pos += l;
+      };
+      auto mmin_of = [](long long d) {
+        return 2 + (d > 0xFF) + (d > 0xFFF) + (d > 0xFFFFF);
+      };
+
+      // Bounded-depth emission of one match piece; may lift, split, or
+      // degrade to literals. Self-recursion via explicit lambda ref.
+      std::function<void(long long, int, int)> piece =
+          [&](long long d, int l, int local_cap) {
+        while (l > 0) {
+          if (local_cap < 1) {
+            for (int i = 0; i < l; i++) emit_lit(blk[pos]);
+            return;
+          }
+          if (l > d) {
+            // overlap: all copied bytes sit at depth(period)+1
+            long long s = pos - d;
+            int pmax = 0;
+            for (long long j = s; j < pos; j++) pmax = depth[j] > pmax ? depth[j] : pmax;
+            if (pmax + 1 <= local_cap) {
+              emit_match((int)d, l);
+              return;
+            }
+            // rebuild the period one level shallower, then copy from it
+            piece(d, (int)d, local_cap - 1);
+            l -= (int)d;
+            continue;
+          }
+          // non-overlap: lift while the source span sits in one command
+          bool split_tail = false;
+          for (int it = 0; it < 64; it++) {
+            long long s = pos - d;
+            int dmax = 0;
+            for (int i = 0; i < l; i++) dmax = depth[s + i] > dmax ? depth[s + i] : dmax;
+            if (dmax + 1 <= local_cap && l >= mmin_of(d)) {
+              emit_match((int)d, l);
+              return;
+            }
+            int c0 = cmd_at[s];
+            if (cmd_at[s + l - 1] != c0) {
+              // split at the first source-command boundary; tail loops
+              int l1 = 1;
+              while (l1 < l && cmd_at[s + l1] == c0) l1++;
+              piece(d, l1, local_cap);
+              l -= l1;
+              split_tail = true;
+              break;
+            }
+            long long d2 = (c0 >= 0 && o_len[c0] > 0) ? d + o_val[c0] : 0;
+            if (d2 <= 0 || d2 > pos || l < mmin_of(d2)) {
+              for (int i = 0; i < l; i++) emit_lit(blk[pos]);
+              return;
+            }
+            d = d2;
+          }
+          if (!split_tail) {  // 64 lifts without resolution
+            for (int i = 0; i < l; i++) emit_lit(blk[pos]);
+            return;
+          }
+        }
+      };
+
+      for (long long k = 0; k < T_in; k++) {
+        int l = in_len[k];
+        if (l == 0) {
+          emit_lit(in_val[k]);
+        } else {
+          piece(in_val[k], l, cap);
+        }
+      }
+
+      if ((long long)o_len.size() > t_cap) {
+        err.store(1);
+        return;
+      }
+      for (size_t k = 0; k < o_len.size(); k++) {
+        ol[k] = o_len[k];
+        ov[k] = o_val[k];
+      }
+      for (long long k = (long long)o_len.size(); k < t_cap; k++) ol[k] = -1;
+      if (out_depth) out_depth[b] = blk_depth;
+    }
+  };
+  for (int t = 0; t < threads; t++) pool.emplace_back(work);
+  for (auto& t : pool) t.join();
+  return err.load();
 }
 
 }  // extern "C"

@@ -63,14 +63,21 @@ def main(argv=None) -> int:
             block_size = int(arg[7:])
         elif arg.startswith("profile:"):
             profile = arg[8:]
-            if profile == "wide" and not block_size:
-                from .parallel.blocks import DEFAULT_BLOCK_SIZE
-
-                block_size = min(DEFAULT_BLOCK_SIZE, 32768)
         elif arg.startswith("engine:"):
             engine = arg[7:]
         else:
             return _fail(f"unrecognized flag {arg}")
+
+    # flag-order-independent profile/block validation
+    if profile == "wide":
+        from .parallel.blocks import DEFAULT_BLOCK_SIZE, WIDE_MAX_BLOCK
+
+        if not block_size:
+            block_size = min(DEFAULT_BLOCK_SIZE, WIDE_MAX_BLOCK)
+        elif block_size > WIDE_MAX_BLOCK:
+            return _fail(
+                f"-profile:wide caps blocks at {WIDE_MAX_BLOCK} (got {block_size})"
+            )
 
     if not argv:
         return _usage()

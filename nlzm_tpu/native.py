@@ -69,6 +69,12 @@ def load() -> ctypes.CDLL:
         c_i32p, c_i32p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
     ]
 
+    lib.nlzmx_lift_split.restype = ctypes.c_int
+    lib.nlzmx_lift_split.argtypes = [
+        c_u8p, c_i64, c_i64, c_i32p, c_i32p, c_i64, c_i64,
+        ctypes.c_int, ctypes.c_int, c_i32p,
+    ]
+
     lib.nlzmx_encode_blocks.restype = ctypes.c_int
     lib.nlzmx_encode_blocks.argtypes = [
         c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -217,6 +223,46 @@ def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int 
         T, B, block_size, cap, threads, depths.ctypes.data_as(i32p),
     )
     return depths
+
+
+def lift_split(
+    data: bytes, op_len: np.ndarray, op_val: np.ndarray, block_size: int,
+    cap: int = 4, threads: int = 0,
+):
+    """Hard-cap literal-ancestor depth by lifting AND splitting matches.
+
+    Unlike lift_deep, the returned per-block depth is guaranteed <= cap,
+    so the TPU expander's doubling-round budget is exactly
+    ceil(log2(cap)). Command counts can grow (splits); returns new
+    ([T', B] op_len, op_val, depths).
+    """
+    assert op_len.dtype == np.int32 and op_val.dtype == np.int32
+    T, B = op_len.shape
+    if threads <= 0:
+        threads = min(16, os.cpu_count() or 1)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    src = np.frombuffer(data, dtype=np.uint8)
+    t_cap = T + max(T // 2, 256)
+    while True:
+        ol = np.full((B, t_cap), -1, np.int32)
+        ov = np.zeros((B, t_cap), np.int32)
+        ol[:, :T] = op_len.T
+        ov[:, :T] = op_val.T
+        depths = np.zeros(B, np.int32)
+        rc = load().nlzmx_lift_split(
+            _u8p(src), len(data), block_size,
+            ol.ctypes.data_as(i32p), ov.ctypes.data_as(i32p), t_cap, B,
+            cap, threads, depths.ctypes.data_as(i32p),
+        )
+        if rc == 0:
+            # live rows are a prefix of each block's row
+            t_out = int((ol >= 0).sum(axis=1).max()) if B else 0
+            return (
+                np.ascontiguousarray(ol[:, :t_out].T),
+                np.ascontiguousarray(ov[:, :t_out].T),
+                depths,
+            )
+        t_cap *= 2
 
 
 def parse_blocks(data: bytes, block_size: int, hist_bits: int, threads: int = 0):

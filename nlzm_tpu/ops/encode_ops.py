@@ -102,7 +102,10 @@ def find_matches(data: jax.Array, n_valid: jax.Array, reach: int, num_cands: int
 
     h = ((word * HASH4_MULT) & jnp.asarray(0xFFFFFFFF, _U32)) >> 16  # 16-bit hash
     pos = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
-    # sort by (hash, position): equal hashes adjacent, positions ascending
+    # sort by (hash, position): equal hashes adjacent, positions ascending.
+    # 16-bit hash * N overflows i32 for N > 32768 (65535*32768+32767 is
+    # exactly INT32_MAX), scrambling the grouping silently.
+    assert N <= 32768, f"find_matches block size {N} exceeds the i32 sort-key budget"
     key = h.astype(_I32) * N + pos
     order = jnp.argsort(key, axis=1)
     h_s = jnp.take_along_axis(h, order, axis=1)
@@ -782,8 +785,11 @@ def lift_deep_matches(op_len, op_val, cap: int = 15):
             # only sound for non-overlapping matches (l <= d): an
             # overlap's tail references the match itself, outside the
             # verified source command (overlaps are depth-collapsed by
-            # the decoder's modular parents anyway)
-            while l <= d:
+            # the decoder's modular parents anyway). Iteration cap 64
+            # mirrors native nlzmx_lift_deep exactly (engine parity).
+            lift_budget = 64
+            while l <= d and lift_budget > 0:
+                lift_budget -= 1
                 src = m - d
                 dd = depth[src : src + l]
                 if dd.max() + 1 <= cap:

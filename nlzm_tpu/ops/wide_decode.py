@@ -284,7 +284,10 @@ def assemble_post_dst(
     slot_d = (dst_hi << 3) | dst_lo  # dict-aligned
     slot = jnp.where(is_dict, gather_sorted(slot_d, d_rank), 0)
     big = slot >= 4
-    ab = jnp.where(is_dict & big, (slot >> 1) - 1, 0)
+    # clamp to the format maximum (32 KiB blocks -> dv < 2^15 -> ab <= 13)
+    # so corrupted payloads degrade to a CRC failure instead of overflowing
+    # the shifted intermediates below
+    ab = jnp.clip(jnp.where(is_dict & big, (slot >> 1) - 1, 0), 0, 13)
 
     widths = jnp.where(is_rep, 2, 0) + ab
     offs = jnp.cumsum(widths, axis=1) - widths

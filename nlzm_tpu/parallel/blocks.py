@@ -47,6 +47,7 @@ FLAG_WIDE = 0x02  # blocks use the wide profile (format/wide.py)
 FLAG_PRIORS = 0x04  # container-level wide warm-start priors blob follows
 
 DEFAULT_BLOCK_SIZE = 1 << 17  # 128 KB: 5 frames/block at hist_bits 17
+WIDE_MAX_BLOCK = 32768  # 15-bit packed-sort position/payload budget
 
 
 @dataclass
@@ -75,8 +76,16 @@ def encode_container(
     parser: str = "greedy",
     engine: str = "auto",
     profile: str = "v1",
+    depth_cap: int = 0,
 ) -> bytes:
     """Block encode. engine: auto (native if built) | native | serial | tpu.
+
+    depth_cap > 0 HARD-bounds every byte's literal-ancestor chain depth
+    in wide blocks (lift + split at parse time), fixing the device
+    expander's pointer-doubling budget at ceil(log2(depth_cap)) rounds.
+    Splitting costs ratio on short-match-dense data (it breaks rep
+    chains), so the default 0 keeps the soft lift (nlzmx_lift_deep):
+    no split, rare lifts, depth bounded only in practice (~25).
 
     profile="wide" encodes blocks in the lane-parallel wide profile
     (format/wide.py): device parse + host plane packing; decodes with the
@@ -94,7 +103,7 @@ def encode_container(
     flags = FLAG_CRC32
     if profile == "wide":
         # the packed-sort primitives carry 15-bit positions/payloads
-        if block_size > 32768:
+        if block_size > WIDE_MAX_BLOCK:
             raise ValueError("wide profile caps blocks at 32 KiB")
         flags |= FLAG_WIDE
         from .. import native
@@ -106,7 +115,12 @@ def encode_container(
                 # costs) feeds the wide planes; ~15x faster than the
                 # device DP and a few % better ratio
                 op_len, op_val = native.parse_blocks(data, block_size, hist_bits)
-                depths = native.lift_deep(op_len, op_val, block_size)
+                if depth_cap > 0:
+                    op_len, op_val, depths = native.lift_split(
+                        data, op_len, op_val, block_size, cap=depth_cap
+                    )
+                else:
+                    depths = native.lift_deep(op_len, op_val, block_size)
                 op_rep = native.classify_reps(op_len, op_val)
             else:
                 from ..ops.encode_ops import parse_blocks_device
@@ -272,6 +286,30 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
         return _verified(b"", info)
 
     if info.wide:
+        if engine in ("serial", "native"):
+            # host path: reference plane decoder + (native when built)
+            # command expansion; the device path below is the fast one
+            from .. import native
+            from ..format.wide import decode_wide_block
+
+            out = bytearray()
+            for payload in block_payloads(data, info):
+                op_len, op_val = decode_wide_block(payload, info.wide_priors)
+                ol = np.asarray(op_len, np.int32)
+                ov = np.asarray(op_val, np.int32)
+                if engine == "native" and native.available():
+                    out += native.expand_ops(ol, ov, info.block_size)
+                else:
+                    blk = bytearray()
+                    for l, v in zip(ol, ov):
+                        if l == 0:
+                            blk.append(v)
+                        else:
+                            for _ in range(l):
+                                blk.append(blk[len(blk) - v])
+                    out += blk
+            return _verified(bytes(out[: info.total_len]), info)
+
         from ..ops.wide_decode import decode_wide_blocks
 
         return _verified(
