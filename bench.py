@@ -85,7 +85,7 @@ def main() -> None:
     # cache key: corpus + the format-defining module (not the decoder)
     fmt = (REPO / "nlzm_tpu" / "format" / "wide.py").read_bytes()
     key = hashlib.sha256(
-        hashlib.sha256(data).digest() + hashlib.sha256(fmt).digest() + f"enc-v5|{BLOCK_SIZE}".encode()
+        hashlib.sha256(data).digest() + hashlib.sha256(fmt).digest() + f"enc-v8|{BLOCK_SIZE}".encode()
     ).hexdigest()[:16]
     cache = REPO / ".build" / f"bench_wide_{key}.nlzp"
     cache.parent.mkdir(parents=True, exist_ok=True)

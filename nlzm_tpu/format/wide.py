@@ -33,8 +33,19 @@ Block payload layout (big-endian):
 
     for each of the 5 planes: u32 sym_count, u32 stream_bytes
     u32 bits_bytes
+    for each plane: u16 x (NC-1) chunk pair-count deltas (renorm pairs
+        emitted in each chunk except the last; chunk byte offsets are
+        their exclusive prefix sums x2; NC =
+        len(chunk_schedule(padded_steps(sym_count, lanes))) is derivable
+        from sym_count, so no length prefix; a chunk emits at most
+        lanes x reads x 16 <= 1024 pairs, so u16 is ample)
     then the 5 plane streams (each: L x u32le lane seeds, then renorm
     pairs in decode order), then the raw-bit plane (MSB-first).
+
+The chunk-offset tables exist for the device decoder: the host stages
+each chunk's renorm window as a dense array slice, so the TPU scan never
+gathers from the stream mid-loop (XLA gathers run ~70M elem/s on this
+class of chip; they were the scan bottleneck). Cost ~0.3% of payload.
 
 This module holds the format tables and the host (numpy) encoder; the
 batched device decoder lives in nlzm_tpu.ops.wide_decode.
@@ -216,11 +227,22 @@ def _rans_encode_plane(spec: PlaneSpec, syms, rows, n_sym, B, prior=None):
     pa = pair_all.transpose(1, 0, 2).reshape(B, -1)  # [B, steps*R*L]
     ma = mask_all.transpose(1, 0, 2).reshape(B, -1)
     seeds = x.astype("<u4").view(np.uint8).reshape(B, 4 * L)
+
+    # per-chunk byte offsets (relative to the pairs region) for the
+    # device decoder's window staging; chunk c starts at 2x(number of
+    # renorm pairs emitted before its first step)
+    sched = chunk_schedule(steps)
+    chunk_start_steps = np.cumsum((0,) + sched[:-1])
+    pair_per_step = ma.reshape(B, steps, R * L).sum(axis=2)  # [B, steps]
+    cum = np.zeros((B, steps + 1), np.int64)
+    np.cumsum(pair_per_step, axis=1, out=cum[:, 1:])
+    offsets = 2 * cum[:, chunk_start_steps]  # [B, NC]
+
     streams = []
     for b in range(B):
         sel = pa[b][ma[b]].astype(">u2")
         streams.append(seeds[b].tobytes() + sel.tobytes())
-    return streams
+    return streams, offsets
 
 
 PRIOR_ROW_BUDGET = 256  # per-row prior mass (carry-scale counts)
@@ -408,14 +430,15 @@ def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
         blob = serialize_priors(priors)
 
     plane_streams = []
+    plane_offsets = []
     for spec in PLANES:
         syms_p, rows_p, counts, _ = batched[spec.name]
-        plane_streams.append(
-            _rans_encode_plane(
-                spec, syms_p, rows_p, counts, B,
-                priors[spec.name] if priors else None,
-            )
+        streams, offsets = _rans_encode_plane(
+            spec, syms_p, rows_p, counts, B,
+            priors[spec.name] if priors else None,
         )
+        plane_streams.append(streams)
+        plane_offsets.append(offsets)
 
     payloads = []
     for b in range(B):
@@ -425,6 +448,13 @@ def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
             out += len(plane_streams[i][b]).to_bytes(4, "big")
         bits = per_block[b][1]
         out += len(bits).to_bytes(4, "big")
+        for i in range(N_PLANES):
+            # the block's own chunk count (a prefix of the batch schedule)
+            nc = len(chunk_schedule(padded_steps(int(plane_counts[i][b]), PLANES[i].lanes)))
+            offs = plane_offsets[i][b, : nc + 1]
+            # the last chunk's count is implied by the stream length
+            deltas = (offs[1 : nc] - offs[: nc - 1]) // 2
+            out += deltas.astype(">u2").tobytes()
         for i in range(N_PLANES):
             out += plane_streams[i][b]
         out += bits
@@ -440,11 +470,43 @@ def encode_wide_block(op_len, op_val, op_rep) -> bytes:
     return encode_wide_blocks(op_len, op_val, op_rep, with_priors=False)[0][0]
 
 
+def parse_payload(payload: bytes):
+    """Split one wide block payload into its sections.
+
+    Returns (counts, streams, offsets, bits): per-plane symbol counts,
+    stream bytes (seeds + pairs), chunk-offset arrays, and the raw-bit
+    plane bytes.
+    """
+    counts, sizes = [], []
+    off = 0
+    for _ in range(N_PLANES):
+        counts.append(int.from_bytes(payload[off : off + 4], "big"))
+        sizes.append(int.from_bytes(payload[off + 4 : off + 8], "big"))
+        off += 8
+    bits_len = int.from_bytes(payload[off : off + 4], "big")
+    off += 4
+    offsets = []
+    for i in range(N_PLANES):
+        nc = len(chunk_schedule(padded_steps(counts[i], PLANES[i].lanes)))
+        deltas = np.frombuffer(payload, ">u2", nc - 1, off).astype(np.int64)
+        off += 2 * (nc - 1)
+        o = np.zeros(nc, np.int64)
+        np.cumsum(2 * deltas, out=o[1:])
+        offsets.append(o)
+    streams = []
+    for s in sizes:
+        streams.append(payload[off : off + s])
+        off += s
+    bits = payload[off : off + bits_len]
+    return counts, streams, offsets, bits
+
+
 class _PlaneDecoder:
     """Host reference decoder for one plane stream (mirror of
     _rans_encode_plane; the batched device decoder must match it)."""
 
-    def __init__(self, spec: PlaneSpec, stream: bytes, n_sym: int, prior=None):
+    def __init__(self, spec: PlaneSpec, stream: bytes, n_sym: int, prior=None,
+                 chunk_offsets=None):
         self.spec = spec
         L = spec.lanes
         self.x = np.frombuffer(stream[: 4 * L], "<u4").astype(np.uint64).copy()
@@ -454,10 +516,13 @@ class _PlaneDecoder:
         self.bank = _TableBank(1, spec, prior)
         self.steps = padded_steps(n_sym, spec.lanes)
         self.boundary_after = set()
+        self.chunk_start_of = {}  # step -> chunk index (at chunk starts)
         acc = 0
-        for c in chunk_schedule(self.steps):
+        for ci, c in enumerate(chunk_schedule(self.steps)):
+            self.chunk_start_of[acc] = ci
             acc += c
             self.boundary_after.add(acc - 1)
+        self.chunk_offsets = chunk_offsets  # verified when provided
 
     def decode(self, row_fn):
         """row_fn(read, lane_syms_so_far...) -> context rows; returns
@@ -466,6 +531,14 @@ class _PlaneDecoder:
         out = [np.zeros(self.steps * L, np.int64) for _ in range(spec.reads)]
         lane_idx = np.arange(L)
         for t in range(self.steps):
+            ci = self.chunk_start_of.get(t)
+            if ci is not None and self.chunk_offsets is not None:
+                stored = int(self.chunk_offsets[ci])
+                have = self.pos - 4 * L
+                assert stored == have, (
+                    f"chunk offset mismatch: plane {spec.name} chunk {ci}: "
+                    f"stored {stored}, cursor {have}"
+                )
             active = (t * L + lane_idx) < self.n
             ys = []
             for r in range(spec.reads):
@@ -505,35 +578,23 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
     """Host reference decode of one wide block -> (op_len, op_val) arrays."""
     priors = parse_priors(priors_blob) if priors_blob else None
     prior_of = lambda name: priors[name] if priors else None
-    counts, sizes = [], []
-    off = 0
-    for _ in range(N_PLANES):
-        counts.append(int.from_bytes(payload[off : off + 4], "big"))
-        sizes.append(int.from_bytes(payload[off + 4 : off + 8], "big"))
-        off += 8
-    bits_len = int.from_bytes(payload[off : off + 4], "big")
-    off += 4
-    streams = []
-    for s in sizes:
-        streams.append(payload[off : off + s])
-        off += s
-    bits = payload[off : off + bits_len]
+    counts, streams, offsets, bits = parse_payload(payload)
 
     def simple_rows(spec):
         return lambda r, t, ys: (
             np.zeros(spec.lanes, np.int64) if r == 0 else ys[0]
         )
 
-    tok = _PlaneDecoder(PLANES[0], streams[0], counts[0], prior_of("tok")).decode(
+    tok = _PlaneDecoder(PLANES[0], streams[0], counts[0], prior_of("tok"), offsets[0]).decode(
         simple_rows(PLANES[0])
     )[0]
-    lit_hi, lit_lo = _PlaneDecoder(PLANES[1], streams[1], counts[1], prior_of("lit")).decode(
+    lit_hi, lit_lo = _PlaneDecoder(PLANES[1], streams[1], counts[1], prior_of("lit"), offsets[1]).decode(
         simple_rows(PLANES[1])
     )
-    len_sym = _PlaneDecoder(PLANES[2], streams[2], counts[2], prior_of("len")).decode(
+    len_sym = _PlaneDecoder(PLANES[2], streams[2], counts[2], prior_of("len"), offsets[2]).decode(
         simple_rows(PLANES[2])
     )[0]
-    lex_hi, lex_lo = _PlaneDecoder(PLANES[3], streams[3], counts[3], prior_of("lex")).decode(
+    lex_hi, lex_lo = _PlaneDecoder(PLANES[3], streams[3], counts[3], prior_of("lex"), offsets[3]).decode(
         simple_rows(PLANES[3])
     )
 
@@ -564,7 +625,7 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
         seg[: len(seg_src)] = seg_src
         return seg if r == 0 else seg * 8 + ys[0]
 
-    dst_hi, dst_lo = _PlaneDecoder(spec_d, streams[4], counts[4], prior_of("dst")).decode(dst_rows)
+    dst_hi, dst_lo = _PlaneDecoder(spec_d, streams[4], counts[4], prior_of("dst"), offsets[4]).decode(dst_rows)
 
     # raw bits
     bit_arr = np.unpackbits(np.frombuffer(bits, np.uint8))

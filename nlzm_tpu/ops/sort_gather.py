@@ -5,7 +5,11 @@ TPU has no per-lane gather hardware; XLA lowers gather to ~70M elem/s
 restructure batched gathers/compactions as packed single-i32 sorts:
 
 - gather_sorted:  out[b, k] = src[b, idx[b, k]]   (2 sorts + cummax fill)
+- gather_sorted16: same with 16-bit payloads via u32 keys
 - compact_by_rank: out[b, r] = val[b, k] where rank[b, k] == r (1 sort)
+
+All packed keys are unique (payload/iota fields disambiguate records),
+so every sort runs is_stable=False - measured ~1.9x faster on TPU.
 
 Packing budget: position bits PB + tag bit + payload bits PB must stay
 below 31, so PB=15 supports arrays up to 32768 wide with 15-bit payloads.
@@ -33,7 +37,7 @@ def gather_sorted(src_vals: jax.Array, queries: jax.Array) -> jax.Array:
     # before queries at the same position
     src_e = jnp.broadcast_to(iota_n << (PB + 1), (B, N)) | src_vals
     qry_e = (queries << (PB + 1)) | (1 << PB) | iota_q[None, :]
-    s = jax.lax.sort(jnp.concatenate([src_e, qry_e], axis=1), dimension=1)
+    s = jax.lax.sort(jnp.concatenate([src_e, qry_e], axis=1), dimension=1, is_stable=False)
     is_q = (s >> PB) & 1
     # forward-fill the latest source record (monotone in pos -> cummax)
     filled = jax.lax.cummax(jnp.where(is_q == 0, s, -1), axis=1)
@@ -41,8 +45,36 @@ def gather_sorted(src_vals: jax.Array, queries: jax.Array) -> jax.Array:
     # route back to query order: queries first, keyed by their own index
     dest = jnp.where(is_q == 1, s & (PACK_MAX - 1), 0)
     key2 = ((1 - is_q) << (2 * PB)) | (dest << PB) | val
-    s2 = jax.lax.sort(key2, dimension=1)
+    s2 = jax.lax.sort(key2, dimension=1, is_stable=False)
     return s2[:, :Q] & (PACK_MAX - 1)
+
+
+def gather_sorted16(src_vals: jax.Array, queries: jax.Array) -> jax.Array:
+    """gather_sorted with 16-bit payloads via u32 packed keys.
+
+    out[b, k] = src_vals[b, queries[b, k]]; src values may use 16 bits
+    (positions and query count still capped at PB bits). Used for
+    halfword-granular stream fetches (e.g. the raw-bit plane).
+    """
+    B, N = src_vals.shape
+    Q = queries.shape[1]
+    assert N <= PACK_MAX and Q <= PACK_MAX
+    u32 = jnp.uint32
+    iota_n = jnp.arange(N, dtype=_I32).astype(u32)
+    iota_q = jnp.arange(Q, dtype=_I32).astype(u32)
+    # key: pos(15) | tag(1) | payload(16); source tag 0 first at equal pos
+    src_e = jnp.broadcast_to(iota_n << 17, (B, N)) | src_vals.astype(u32)
+    qry_e = (queries.astype(u32) << 17) | jnp.asarray(1 << 16, u32) | iota_q[None, :]
+    s = jax.lax.sort(jnp.concatenate([src_e, qry_e], axis=1), dimension=1, is_stable=False)
+    is_q = (s >> 16) & jnp.asarray(1, u32)
+    # the source array is dense (every position present), so a source
+    # record always precedes each query at its position: 0 is a safe mask
+    filled = jax.lax.cummax(jnp.where(is_q == 0, s, jnp.asarray(0, u32)), axis=1)
+    val = filled & jnp.asarray(0xFFFF, u32)
+    dest = jnp.where(is_q == 1, s & jnp.asarray(0xFFFF, u32), jnp.asarray(0, u32))
+    key2 = ((jnp.asarray(1, u32) - is_q) << 31) | (dest << 16) | val
+    s2 = jax.lax.sort(key2, dimension=1, is_stable=False)
+    return (s2[:, :Q] & jnp.asarray(0xFFFF, u32)).astype(_I32)
 
 
 def compact_by_rank(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_width: int) -> jax.Array:
@@ -54,7 +86,7 @@ def compact_by_rank(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_width
     B, K = vals.shape
     assert K <= PACK_MAX and out_width <= PACK_MAX
     key = jnp.where(pred, rank, PACK_MAX) << PB  # filler sorts after all ranks
-    s = jax.lax.sort(key | vals, dimension=1)
+    s = jax.lax.sort(key | vals, dimension=1, is_stable=False)
     out = s[:, :out_width] & (PACK_MAX - 1)
     # slots at/past count hold the PACK_MAX-1 filler key's payload; zero them
     valid = jnp.arange(out_width, dtype=_I32)[None, :] < jnp.sum(

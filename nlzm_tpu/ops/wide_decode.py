@@ -4,10 +4,12 @@ Decodes B blocks in lockstep. Each of the five symbol planes
 (format/wide.py) runs as its own scan-of-scans: the outer scan walks
 chunks (rebuilding the CDF tables from realized counts at each boundary,
 same deterministic rule as the encoder), the inner scan walks the steps
-of a chunk (warmup schedule 2/2/4/8, then 16); a step advances L rANS lanes together through 1-2
-predicated CDF reads against the chunk-static tables, fetching ONE
-contiguous byte window per step (the stream is laid out in exact decode
-order: step, read, lane).
+of a chunk (warmup schedule 2/2/4/8, then 16); a step advances L rANS
+lanes together through 1-2 predicated CDF reads against the chunk-static
+tables. The stream is laid out in exact decode order (step, read, lane)
+and the format's chunk-offset tables let the host stage every chunk's
+renorm window as a dense array up front - the scan itself is gather-free
+(selects run as small f32 one-hot contractions on the MXU).
 
 Command assembly is scan-free: plane outputs are routed to command slots
 with packed-sort gathers (ops/sort_gather.py), raw-bit fields are sliced
@@ -25,7 +27,7 @@ import numpy as np
 
 from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
 from ..format.wide import CHUNK_STEPS, PLANES
-from .sort_gather import compact_by_rank, gather_sorted
+from .sort_gather import compact_by_rank, gather_sorted, gather_sorted16
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
@@ -60,27 +62,29 @@ def _uniform_tables(B: int, rows: int, nsym: int):
 
 
 @partial(jax.jit, static_argnames=("plane_idx", "steps"))
-def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: int, steps: int, prior=None):
+def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Array,
+               plane_idx: int, steps: int, prior=None):
     """Decode one plane for all blocks.
 
-    words: [B, W] u32 little-endian words of the plane stream (seeds
-    first). n_sym: [B] symbol counts. ctx: [B, steps*L] read-0 context
-    rows (all-zero except the dst plane's lc sequence). steps must equal
-    sum(chunk_schedule(...)) as produced by format.wide.padded_steps.
-    prior: optional per-read [rows, 16] warm-start counts (container
-    level, shared by all blocks). Returns per-read symbol arrays,
-    each [B, steps*L].
+    seeds: [B, L] u32 lane states. wins: [NC, B, WH] i32 per-chunk renorm
+    pair windows, host-staged from the format's chunk-offset tables
+    (already big-endian decoded: value = (b0<<8)|b1) - the scan itself
+    never gathers from the stream; each step selects pairs from its
+    chunk's dense window with two-level one-hot contractions that XLA
+    places on the MXU (f32 exact: values < 2^16). n_sym: [B] symbol
+    counts. ctx: [B, steps*L] read-0 context rows. steps must equal
+    sum(chunk_schedule(...)). prior: optional per-read [rows, 16]
+    warm-start counts. Returns per-read symbol arrays, each [B, steps*L].
     """
     from ..format.wide import chunk_schedule
 
     spec = PLANES[plane_idx]
     L, reads = spec.lanes, spec.reads
-    B, W = words.shape
-    win_words = (2 * L * reads) // 4 + 2  # covers every renorm this step
+    B = seeds.shape[0]
+    NC, _, WH = wins.shape
+    assert WH % 8 == 0
 
-    seeds = words[:, :L].astype(_U32)  # u32le lane states
     lane_iota = jnp.arange(L, dtype=_I32)
-    widx = jnp.arange(win_words, dtype=_I32)
 
     ctx_t = ctx.reshape(B, steps, L).transpose(1, 0, 2)  # [steps, B, L]
     t_iota = jnp.arange(steps, dtype=_I32)
@@ -89,21 +93,24 @@ def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: in
         < n_sym[None, :, None]
     )
 
-    def read_one(x, cursor, win, win_base, tables, counts, row, active, single_row):
+    f32 = jnp.float32
+    # TPU matmuls default to bf16 passes; these contractions carry exact
+    # 14-16 bit integers and need full f32 precision
+    PX = jax.lax.Precision.HIGHEST
+
+    def read_one(x, rel, win3, tables_f, counts, row, active, single_row):
         """One predicated CDF read across lanes.
 
-        Kernel-lean formulation: symbol, span start/freq and the count
-        one-hot all derive from one fence-compare tensor (no one_hot
-        dot_generals); renorm byte pairs are u16-aligned by construction
-        (the cursor only ever advances by 2), so the pair fetch is a
-        single select over the window's 2W halfwords.
+        Symbol, span start/freq and the count one-hot all derive from
+        one fence-compare tensor. Row-table select and the pair select
+        run as f32 contractions (MXU); the rANS update stays u32.
         """
         f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
         if single_row:
-            tbl = tables[:, 0][:, None, :]  # [B, 1, 17] broadcasts over lanes
+            tbl = tables_f[:, 0][:, None, :].astype(_I32)  # [B, 1, 17]
         else:
-            row_oh = jax.nn.one_hot(row, tables.shape[1], dtype=_I32)
-            tbl = jnp.einsum("blr,brw->blw", row_oh, tables)  # [B, L, 17]
+            row_oh = jax.nn.one_hot(row, tables_f.shape[1], dtype=f32)
+            tbl = jnp.einsum("blr,brw->blw", row_oh, tables_f, precision=PX).astype(_I32)
         cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)  # [B, L, 16]
         dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]
         y = jnp.sum(cmp, axis=2)
@@ -117,58 +124,59 @@ def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: in
         x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
         renorm = active & (x2 < jnp.asarray(1 << 16, _U32))
         rank = jnp.cumsum(renorm.astype(_I32), axis=1) - renorm.astype(_I32)
-        h = (cursor[:, None] + 2 * rank - win_base[:, None]) >> 1  # halfword idx
-        hsel = jax.nn.one_hot(jnp.clip(h, 0, 2 * win_words - 1), 2 * win_words, dtype=_I32)
-        win16 = jnp.stack(
-            [win & jnp.asarray(0xFFFF, _U32), win >> 16], axis=2
-        ).reshape(B, 2 * win_words)  # u16le halfwords
-        pair_le = jnp.einsum("blw,bw->bl", hsel, win16.astype(_I32)).astype(_U32)
-        pair = ((pair_le & jnp.asarray(0xFF, _U32)) << 8) | (pair_le >> 8)
+        h = jnp.clip(rel[:, None] + rank, 0, WH - 1)  # pair index in window
+        # two-level select: O(WH/8 + 8) one-hots instead of O(WH)
+        oh_hi = jax.nn.one_hot(h >> 3, WH // 8, dtype=f32)
+        oh_lo = jax.nn.one_hot(h & 7, 8, dtype=f32)
+        s1 = jnp.einsum("blh,bhe->ble", oh_hi, win3, precision=PX)  # [B, L, 8]
+        pair = jnp.einsum("ble,ble->bl", s1, oh_lo, precision=PX).astype(_I32).astype(_U32)
         x3 = jnp.where(renorm, (x2 << 16) | pair, x2)
         x = jnp.where(active, x3, x)
-        cursor = cursor + 2 * jnp.sum(renorm.astype(_I32), axis=1)
+        rel = rel + jnp.sum(renorm.astype(_I32), axis=1)
 
         y = jnp.where(active, y, 0)
-        y16a = y16 * active.astype(_I32)[:, :, None]
+        y16a = (cmp1 - cmp) * active.astype(_I32)[:, :, None]
         if single_row:
             counts = counts + jnp.sum(y16a, axis=1)[:, None, :]
         else:
-            counts = counts + jnp.einsum("blr,bls->brs", row_oh, y16a)
-        return y, x, cursor, counts
+            counts = counts + jnp.einsum(
+                "blr,bls->brs", row_oh, y16a.astype(f32), precision=PX
+            ).astype(_I32)
+        return y, x, rel, counts
 
-    def step_body(carry, xs):
-        x, cursor, tables, counts = carry
-        row0, active = xs
-        base = cursor >> 2
-        win = jnp.take_along_axis(
-            words, jnp.clip(base[:, None] + widx[None, :], 0, W - 1), axis=1
-        )
-        win_base = base << 2
-        ys = []
-        y_prev = jnp.zeros((B, L), _I32)
-        new_counts = []
-        for r in range(reads):
-            if r == 0:
-                row = row0
-            elif spec.name == "dst":
-                row = row0 * 8 + y_prev
-            else:
-                row = y_prev
-            y, x, cursor, cnt = read_one(
-                x, cursor, win, win_base, tables[r], counts[r], row, active,
-                spec.rows[r] == 1,
-            )
-            new_counts.append(cnt)
-            ys.append(y)
-            y_prev = y
-        return (x, cursor, tables, tuple(new_counts)), tuple(ys)
+    def make_step(win3):
+        def step_body(carry, xs):
+            x, rel, tables_f, counts = carry
+            row0, active = xs
+            ys = []
+            y_prev = jnp.zeros((B, L), _I32)
+            new_counts = []
+            for r in range(reads):
+                if r == 0:
+                    row = row0
+                elif spec.name == "dst":
+                    row = row0 * 8 + y_prev
+                else:
+                    row = y_prev
+                y, x, rel, cnt = read_one(
+                    x, rel, win3, tables_f[r], counts[r], row, active,
+                    spec.rows[r] == 1,
+                )
+                new_counts.append(cnt)
+                ys.append(y)
+                y_prev = y
+            return (x, rel, tables_f, tuple(new_counts)), tuple(ys)
+        return step_body
 
     def chunk_body(carry, xs):
-        x, cursor, tables, carries = carry
-        ctx_c, active_c = xs
+        x, tables, carries = carry
+        ctx_c, active_c, win_c = xs
+        win3 = win_c.reshape(B, WH // 8, 8).astype(f32)
+        tables_f = tuple(t.astype(f32) for t in tables)
         counts0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(reads))
-        (x, cursor, _, counts), ys = jax.lax.scan(
-            step_body, (x, cursor, tables, counts0), (ctx_c, active_c)
+        rel0 = jnp.zeros((B,), _I32)  # window is per chunk: cursor resets
+        (x, _, _, counts), ys = jax.lax.scan(
+            make_step(win3), (x, rel0, tables_f, counts0), (ctx_c, active_c)
         )
         new_carries = tuple(
             (carries[r] >> 1) + counts[r] for r in range(reads)
@@ -176,7 +184,7 @@ def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: in
         new_tables = tuple(
             _build_cdf_jnp(new_carries[r], spec.alphabets[r]) for r in range(reads)
         )
-        return (x, cursor, new_tables, new_carries), ys
+        return (x, new_tables, new_carries), ys
 
     if prior is None:
         tables0 = tuple(_uniform_tables(B, spec.rows[r], spec.alphabets[r]) for r in range(reads))
@@ -189,12 +197,12 @@ def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: in
         tables0 = tuple(
             _build_cdf_jnp(carries0[r], spec.alphabets[r]) for r in range(reads)
         )
-    cursor0 = jnp.full((B,), 4 * L, _I32)
 
     # group the warmup schedule into runs of equal chunk length; each run
     # is one scan-of-scans, state threads across runs
     schedule = chunk_schedule(steps)
     assert sum(schedule) == steps, (schedule, steps)
+    assert len(schedule) == NC, (len(schedule), NC)
     runs = []
     for clen in schedule:
         if runs and runs[-1][0] == clen:
@@ -202,17 +210,20 @@ def plane_scan(words: jax.Array, n_sym: jax.Array, ctx: jax.Array, plane_idx: in
         else:
             runs.append([clen, 1])
 
-    carry = (seeds, cursor0, tables0, carries0)
+    carry = (seeds.astype(_U32), tables0, carries0)
     ys_parts = [[] for _ in range(reads)]
     t0 = 0
+    c0 = 0
     for clen, count in runs:
         seg = slice(t0, t0 + clen * count)
         ctx_x = ctx_t[seg].reshape(count, clen, B, L)
         act_x = active_t[seg].reshape(count, clen, B, L)
-        carry, ys = jax.lax.scan(chunk_body, carry, (ctx_x, act_x))
+        win_x = wins[c0 : c0 + count]
+        carry, ys = jax.lax.scan(chunk_body, carry, (ctx_x, act_x, win_x))
         for r in range(reads):
             ys_parts[r].append(ys[r].reshape(count * clen, B, L))
         t0 += clen * count
+        c0 += count
 
     return tuple(
         jnp.concatenate(p, axis=0).transpose(1, 0, 2).reshape(B, steps * L)
@@ -247,23 +258,21 @@ def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width):
     return is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict
 
 
-def _bits_fetch(bit_bytes, offs, width):
+def _bits_fetch(bit_half, offs, width):
     """MSB-first field of `width` bits at bit offset `offs` (both [B, Tc]).
 
-    Three byte fetches suffice: the 32 KiB block cap bounds distance
-    extras at 13 bits, so width + 7 offset bits <= 20 < 24.
+    bit_half: [B, H] big-endian halfwords of the raw-bit plane. Fields
+    are <= 15 bits (the 32 KiB block cap bounds distance extras at 13),
+    so two adjacent halfwords always cover a field: width + 15 offset
+    bits <= 30 < 32. Two 16-bit-payload gathers replace the previous
+    three byte gathers.
     """
-    byte0 = offs >> 3
-    bs = [
-        gather_sorted(bit_bytes, jnp.clip(byte0 + i, 0, bit_bytes.shape[1] - 1))
-        for i in range(3)
-    ]
-    word = (
-        (bs[0].astype(_U32) << 24)
-        | (bs[1].astype(_U32) << 16)
-        | (bs[2].astype(_U32) << 8)
-    )
-    sh = (offs & 7).astype(_U32)
+    h0 = offs >> 4
+    hm = bit_half.shape[1] - 1
+    hw0 = gather_sorted16(bit_half, jnp.clip(h0, 0, hm))
+    hw1 = gather_sorted16(bit_half, jnp.clip(h0 + 1, 0, hm))
+    word = (hw0.astype(_U32) << 16) | hw1.astype(_U32)
+    sh = (offs & 15).astype(_U32)
     w = jnp.clip(width, 0, 16).astype(_U32)
     v = ((word << sh) & jnp.asarray(0xFFFFFFFF, _U32)) >> (
         jnp.asarray(32, _U32) - jnp.maximum(w, 1)
@@ -274,7 +283,7 @@ def _bits_fetch(bit_bytes, offs, width):
 @jax.jit
 def assemble_post_dst(
     is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-    lit_hi, lit_lo, dst_hi, dst_lo, bit_bytes, n_cmds,
+    lit_hi, lit_lo, dst_hi, dst_lo, bit_half, n_cmds,
 ):
     """Stage B: distances, rep resolution, literals, raw bits ->
     (op_len [Tc, B], op_val [Tc, B]) for lz_expand_parallel."""
@@ -291,7 +300,7 @@ def assemble_post_dst(
 
     widths = jnp.where(is_rep, 2, 0) + ab
     offs = jnp.cumsum(widths, axis=1) - widths
-    v = _bits_fetch(bit_bytes, offs, widths)
+    v = _bits_fetch(bit_half, offs, widths)
     rep_idx = jnp.where(is_rep, v, 0)
     extra = jnp.where(is_dict, v, 0)
 
@@ -324,17 +333,6 @@ def assemble_post_dst(
 
 
 # ------------------------------------------------------------- driver
-def _pack_words(chunks, min_words=4):
-    """Pack per-block byte strings into a [B, W] u32le array."""
-    B = len(chunks)
-    wmax = max(min_words, (max((len(c) for c in chunks), default=0) + 3) // 4 + 2)
-    arr = np.zeros((B, 4 * wmax), np.uint8)
-    for b, c in enumerate(chunks):
-        arr[b, : len(c)] = np.frombuffer(c, np.uint8)
-    a4 = arr.reshape(B, wmax, 4).astype(np.uint32)
-    return a4[:, :, 0] | (a4[:, :, 1] << 8) | (a4[:, :, 2] << 16) | (a4[:, :, 3] << 24)
-
-
 def rounds_hint_of(max_depth: int):
     """Exact pointer-doubling round budget for a container's max chain
     depth (the per-block depth rides the container's reads slot); None
@@ -344,36 +342,84 @@ def rounds_hint_of(max_depth: int):
     return max(0, max_depth - 1).bit_length()
 
 
-def prepare_wide(payloads, priors_blob: bytes | None = None):
-    """Host prep: parse block headers, pack plane streams, upload.
+def stage_plane(stream_list, offset_list, plane_idx: int, steps: int):
+    """Stage one plane's streams as (seeds [B, L] u32, wins [NC, B, WH] i32).
 
-    Returns a staged dict of device arrays + static step counts, ready
-    for decode_wide_staged (the bench stages once, times the pipeline).
+    wins holds each chunk's renorm pairs as big-endian values, dense and
+    zero-padded to WH (the max pair count of any (block, chunk)); block
+    offsets pad to the global chunk count by repeating the stream end.
     """
-    from ..format.wide import N_PLANES, padded_steps, parse_priors
+    from ..format.wide import chunk_schedule
+
+    L = PLANES[plane_idx].lanes
+    B = len(stream_list)
+    NC = len(chunk_schedule(steps))
+    seeds = np.zeros((B, L), np.uint32)
+    offs = np.zeros((B, NC + 1), np.int64)
+    pair_counts = np.zeros((B, NC), np.int64)
+    hws = []
+    for b in range(B):
+        s = stream_list[b]
+        seeds[b] = np.frombuffer(s[: 4 * L], "<u4")
+        hw = np.frombuffer(s[4 * L :], ">u2").astype(np.int32)
+        hws.append(hw)
+        o = offset_list[b]
+        offs[b, : len(o)] = o
+        offs[b, len(o) :] = len(hw) * 2
+        pair_counts[b] = (offs[b, 1:] - offs[b, :-1]) // 2
+    WH = max(8, int(-(-pair_counts.max() // 8)) * 8)
+    wins = np.zeros((NC, B, WH), np.int32)
+    for b in range(B):
+        hw = hws[b]
+        for c in range(NC):
+            lo = int(offs[b, c]) // 2
+            n = int(pair_counts[b, c])
+            wins[c, b, :n] = hw[lo : lo + n]
+    return jnp.asarray(seeds), jnp.asarray(wins)
+
+
+def prepare_wide(payloads, priors_blob: bytes | None = None):
+    """Host prep: parse block headers, stage per-chunk renorm windows.
+
+    Uses the format's chunk-offset tables to slice every (block, chunk)
+    renorm window into dense [NC, B, WH] arrays (big-endian pair values),
+    so the device scan runs gather-free. Returns a staged dict of device
+    arrays + static step counts, ready for decode_wide_staged.
+    """
+    from ..format.wide import (
+        N_PLANES, chunk_schedule, padded_steps, parse_payload, parse_priors,
+    )
 
     B = len(payloads)
     counts = np.zeros((B, N_PLANES), np.int64)
     plane_streams = [[] for _ in range(N_PLANES)]
+    plane_offsets = [[] for _ in range(N_PLANES)]
     bit_chunks = []
     for b, p in enumerate(payloads):
-        off = 0
-        sizes = []
+        cnts, streams, offsets, bits = parse_payload(p)
         for i in range(N_PLANES):
-            counts[b, i] = int.from_bytes(p[off : off + 4], "big")
-            sizes.append(int.from_bytes(p[off + 4 : off + 8], "big"))
-            off += 8
-        bits_len = int.from_bytes(p[off : off + 4], "big")
-        off += 4
-        for i in range(N_PLANES):
-            plane_streams[i].append(p[off : off + sizes[i]])
-            off += sizes[i]
-        bit_chunks.append(p[off : off + bits_len])
+            counts[b, i] = cnts[i]
+            plane_streams[i].append(streams[i])
+            plane_offsets[i].append(offsets[i])
+        bit_chunks.append(bits)
 
-    bmax = max(len(x) for x in bit_chunks) + 4
-    bit_arr = np.zeros((B, bmax), np.int32)
+    steps_g = [
+        padded_steps(int(counts[:, i].max()), PLANES[i].lanes)
+        for i in range(N_PLANES)
+    ]
+
+    seeds_l, wins_l = [], []
+    for i in range(N_PLANES):
+        seeds, wins = stage_plane(plane_streams[i], plane_offsets[i], i, steps_g[i])
+        seeds_l.append(seeds)
+        wins_l.append(wins)
+
+    # big-endian halfword staging for the 16-bit-payload bits gathers
+    hmax = (max(len(x) for x in bit_chunks) + 1) // 2 + 2
+    bit_arr = np.zeros((B, hmax), np.int32)
     for b, c in enumerate(bit_chunks):
-        bit_arr[b, : len(c)] = np.frombuffer(c, np.uint8)
+        cb = np.frombuffer(c + b"\x00" * (len(c) & 1), np.uint8).astype(np.int32)
+        bit_arr[b, : len(cb) // 2] = (cb[0::2] << 8) | cb[1::2]
     priors = None
     if priors_blob:
         raw = parse_priors(priors_blob)
@@ -387,15 +433,10 @@ def prepare_wide(payloads, priors_blob: bytes | None = None):
     return {
         "priors": priors,
         "n_sym": [jnp.asarray(counts[:, i], np.int32) for i in range(N_PLANES)],
-        "words": [
-            jnp.asarray(_pack_words(plane_streams[i], PLANES[i].lanes + 2))
-            for i in range(N_PLANES)
-        ],
-        "bit_bytes": jnp.asarray(bit_arr),
-        "steps": [
-            padded_steps(int(counts[:, i].max()), PLANES[i].lanes)
-            for i in range(N_PLANES)
-        ],
+        "seeds": seeds_l,
+        "wins": wins_l,
+        "bit_half": jnp.asarray(bit_arr),
+        "steps": steps_g,
         "B": B,
     }
 
@@ -407,7 +448,8 @@ def decode_wide_staged(staged, block_size: int):
     rounds_hint = staged.get("rounds_hint")
 
     B = staged["B"]
-    n_sym, words, steps = staged["n_sym"], staged["words"], staged["steps"]
+    n_sym, steps = staged["n_sym"], staged["steps"]
+    seeds, wins = staged["seeds"], staged["wins"]
     priors = staged.get("priors")
     pr = lambda name: tuple(priors[name]) if priors else None
     padw = lambda i: steps[i] * PLANES[i].lanes
@@ -416,10 +458,13 @@ def decode_wide_staged(staged, block_size: int):
     # symbol counts never do (every command produces >= 1 byte)
     cap15 = lambda a: a[:, : min(a.shape[1], 1 << 15)]
 
-    tok_y, = plane_scan(words[0], n_sym[0], zero_ctx(0), 0, steps[0], pr("tok"))
-    lit_hi, lit_lo = plane_scan(words[1], n_sym[1], zero_ctx(1), 1, steps[1], pr("lit"))
-    len_y, = plane_scan(words[2], n_sym[2], zero_ctx(2), 2, steps[2], pr("len"))
-    lex_hi, lex_lo = plane_scan(words[3], n_sym[3], zero_ctx(3), 3, steps[3], pr("lex"))
+    scan = lambda i, ctx: plane_scan(
+        seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name)
+    )
+    tok_y, = scan(0, zero_ctx(0))
+    lit_hi, lit_lo = scan(1, zero_ctx(1))
+    len_y, = scan(2, zero_ctx(2))
+    lex_hi, lex_lo = scan(3, zero_ctx(3))
     tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
         cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
     )
@@ -427,12 +472,12 @@ def decode_wide_staged(staged, block_size: int):
     is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
         tok_y, n_sym[0], len_y, lex_hi, lex_lo, padw(4)
     )
-    dst_hi, dst_lo = plane_scan(words[4], n_sym[4], lc_dict, 4, steps[4], pr("dst"))
+    dst_hi, dst_lo = scan(4, lc_dict)
     dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
 
     op_len, op_val = assemble_post_dst(
         is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-        lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_bytes"], n_sym[0],
+        lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_half"], n_sym[0],
     )
     return lz_expand_parallel(op_len, op_val, block_size, rounds_hint)
 

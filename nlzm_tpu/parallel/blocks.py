@@ -76,16 +76,17 @@ def encode_container(
     parser: str = "greedy",
     engine: str = "auto",
     profile: str = "v1",
-    depth_cap: int = 0,
+    depth_cap: int = 16,
 ) -> bytes:
     """Block encode. engine: auto (native if built) | native | serial | tpu.
 
     depth_cap > 0 HARD-bounds every byte's literal-ancestor chain depth
     in wide blocks (lift + split at parse time), fixing the device
     expander's pointer-doubling budget at ceil(log2(depth_cap)) rounds.
-    Splitting costs ratio on short-match-dense data (it breaks rep
-    chains), so the default 0 keeps the soft lift (nlzmx_lift_deep):
-    no split, rare lifts, depth bounded only in practice (~25).
+    The default 16 (4 rounds, vs ~5 unbounded) costs ~0.4% size;
+    aggressive caps (<= 8) cost several % on short-match-dense data
+    because splitting breaks rep chains. 0 = soft lift only (no split,
+    depth bounded only in practice, ~25).
 
     profile="wide" encodes blocks in the lane-parallel wide profile
     (format/wide.py): device parse + host plane packing; decodes with the

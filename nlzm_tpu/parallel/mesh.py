@@ -99,9 +99,11 @@ def decode_wide_sharded(data: bytes, mesh: Mesh) -> bytes:
 
     staged["rounds_hint"] = rounds_hint_of(max(info.total_reads, default=0))
     sharding = NamedSharding(mesh, P(BLOCK_AXIS))
+    win_sharding = NamedSharding(mesh, P(None, BLOCK_AXIS))  # [NC, B, WH]
     staged["n_sym"] = [jax.device_put(a, sharding) for a in staged["n_sym"]]
-    staged["words"] = [jax.device_put(a, sharding) for a in staged["words"]]
-    staged["bit_bytes"] = jax.device_put(staged["bit_bytes"], sharding)
+    staged["seeds"] = [jax.device_put(a, sharding) for a in staged["seeds"]]
+    staged["wins"] = [jax.device_put(a, win_sharding) for a in staged["wins"]]
+    staged["bit_half"] = jax.device_put(staged["bit_half"], sharding)
 
     out, produced = decode_wide_staged(staged, info.block_size)
     out_np = np.asarray(out)[:n_blocks].reshape(-1)

@@ -69,13 +69,16 @@ def test_device_plane_matches_host_encoder():
         syms1[b, :n] = rng.integers(0, 16, n)
     rows0 = np.zeros_like(syms0)
     rows1 = syms0.copy()
-    streams = wide._rans_encode_plane(spec, [syms0, syms1], [rows0, rows1], counts, B)
+    streams, offsets = wide._rans_encode_plane(
+        spec, [syms0, syms1], [rows0, rows1], counts, B
+    )
 
-    from nlzm_tpu.ops.wide_decode import _pack_words
+    from nlzm_tpu.ops.wide_decode import stage_plane
 
-    w32 = _pack_words(streams, spec.lanes + 2)
+    seeds, wins = stage_plane(streams, list(offsets), 1, steps)
     y0, y1 = plane_scan(
-        jnp.asarray(w32),
+        seeds,
+        wins,
         jnp.asarray(counts, np.int32),
         jnp.zeros((B, T_pad), jnp.int32),
         1,
