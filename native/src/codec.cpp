@@ -851,6 +851,49 @@ void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, 
   for (auto& t : pool) t.join();
 }
 
+// Parse one block to its packed op list (thin export of the static
+// parse_ops_optimal for the one-shot wide encoder in wide.cpp).
+long long nlzmx_parse_block_ops(const unsigned char* src, long long n, int hist_bits,
+                                int* out_len, int* out_val, long long cap) {
+  return parse_ops_optimal(src, n, hist_bits, out_len, out_val, cap);
+}
+
+// Block-major twin of nlzmx_classify_reps: op arrays are [B, T]
+// row-major (block-contiguous), as produced by nlzmx_parse_blocks and
+// consumed by nlzmx_lift_split / nlzmx_wide_encode - the whole native
+// wide pipeline runs block-major so the Python layer never transposes
+// (a [T, B] <-> [B, T] numpy transpose costs seconds at 8 MB scale).
+void nlzmx_classify_reps_bm(const int* op_len, const int* op_val, long long T,
+                            long long B, int* out_rep) {
+  for (long long b = 0; b < B; b++) {
+    const int* ol = op_len + b * T;
+    const int* ov = op_val + b * T;
+    int* orp = out_rep + b * T;
+    int tab[4] = {1, 2, 3, 4};
+    for (long long k = 0; k < T; k++) {
+      int l = ol[k];
+      orp[k] = -1;
+      if (l < 0) break;
+      if (l == 0) continue;
+      int d = ov[k];
+      int hit = -1;
+      for (int i = 0; i < 4; i++)
+        if (tab[i] == d) {
+          hit = i;
+          break;
+        }
+      if (hit >= 0) {
+        orp[k] = hit;
+      } else {
+        tab[3] = tab[2];
+        tab[2] = tab[1];
+        tab[1] = tab[0];
+        tab[0] = d;
+      }
+    }
+  }
+}
+
 // Hard-cap literal-ancestor chain depth by lifting AND splitting matches.
 // Unlike nlzmx_lift_deep (which stops when a source span straddles a
 // command boundary), this splits the match at source-command boundaries
@@ -1005,6 +1048,27 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
   for (int t = 0; t < threads; t++) pool.emplace_back(work);
   for (auto& t : pool) t.join();
   return err.load();
+}
+
+
+// Single-block lift-split into caller buffers (for the one-shot wide
+// encoder): copies the input ops, runs the in-place lift, reports the
+// output op count. Returns 1 when out_cap is too small (caller regrows).
+int nlzmx_lift_split_one(const unsigned char* blk, long long blk_len,
+                         long long block_size, const int* in_len, const int* in_val,
+                         long long T_in, int cap, int* out_len, int* out_val,
+                         long long out_cap, long long* out_T, int* out_depth) {
+  if (T_in > out_cap) return 1;
+  std::memcpy(out_len, in_len, (size_t)T_in * sizeof(int));
+  std::memcpy(out_val, in_val, (size_t)T_in * sizeof(int));
+  for (long long k = T_in; k < out_cap; k++) out_len[k] = -1;
+  int rc = nlzmx_lift_split(blk, blk_len, block_size, out_len, out_val, out_cap, 1,
+                            cap, 1, out_depth);
+  if (rc) return 1;
+  long long t = 0;
+  while (t < out_cap && out_len[t] >= 0) t++;
+  *out_T = t;
+  return 0;
 }
 
 }  // extern "C"

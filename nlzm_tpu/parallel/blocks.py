@@ -112,32 +112,27 @@ def encode_container(
 
         if num_blocks:
             if engine != "tpu" and native.available() and parser == "optimal":
-                # native forward-graph parse (full matcher suite, adaptive
-                # costs) feeds the wide planes; ~15x faster than the
-                # device DP and a few % better ratio
-                op_len, op_val = native.parse_blocks(data, block_size, hist_bits)
-                if depth_cap > 0:
-                    op_len, op_val, depths = native.lift_split(
-                        data, op_len, op_val, block_size, cap=depth_cap
-                    )
-                else:
-                    depths = native.lift_deep(op_len, op_val, block_size)
-                op_rep = native.classify_reps(op_len, op_val)
+                # full native block-major pipeline: forward-graph parse
+                # (full matcher suite, adaptive costs), depth lift,
+                # rep classification, threaded plane encode
+                payloads, priors_blob, depths, ncmds = native.wide_encode_pipeline(
+                    data, block_size, hist_bits, depth_cap=depth_cap
+                )
             else:
                 from ..ops.encode_ops import parse_blocks_device
 
                 op_len, op_val, op_rep, depths = parse_blocks_device(
                     data, block_size, hist_bits, parser
                 )
-            payloads, priors_blob = encode_wide_blocks(op_len, op_val, op_rep)
+                payloads, priors_blob = encode_wide_blocks(op_len, op_val, op_rep)
+                ncmds = [
+                    int(np.argmax(op_len[:, b] < 0))
+                    if (op_len[:, b] < 0).any()
+                    else op_len.shape[0]
+                    for b in range(num_blocks)
+                ]
             if priors_blob:
                 flags |= FLAG_PRIORS
-            ncmds = [
-                int(np.argmax(op_len[:, b] < 0))
-                if (op_len[:, b] < 0).any()
-                else op_len.shape[0]
-                for b in range(num_blocks)
-            ]
             # the per-block "reads" slot carries the chain depth: the
             # decoder's exact pointer-doubling round budget
             meta = [
