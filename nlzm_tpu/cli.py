@@ -105,18 +105,23 @@ def main(argv=None) -> int:
                 print(memory_report(hist_bits_for_block(block_size), block_size, nb))
             else:
                 print(memory_report(window_bits))
-        from .utils.metrics import Metrics
+        from .utils.metrics import Metrics, ProgressLine
 
         m = Metrics()
+        prog = ProgressLine(len(data))
         with m.stage("encode", len(data)):
             if block_size:
                 from .parallel.blocks import encode_container
 
-                out = encode_container(data, block_size=block_size, parser=parser, engine=engine, profile=profile)
+                out = encode_container(
+                    data, block_size=block_size, parser=parser, engine=engine,
+                    profile=profile, progress=prog,
+                )
             else:
                 from .codec import encode_bytes
 
-                out = encode_bytes(data, window_bits, parser=parser, engine=engine)
+                out = encode_bytes(data, window_bits, parser=parser, engine=engine, progress=prog)
+        prog.finish()
         open(dst, "wb").write(out)
         print(
             f"{len(data)} -> {len(out)} bytes "

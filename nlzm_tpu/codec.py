@@ -124,12 +124,15 @@ def encode_bytes(
     hist_bits: int = DEFAULT_HIST_BITS,
     parser: str = "optimal",
     engine: str = "auto",
+    progress=None,
 ) -> bytes:
     """Encode `data` into an NLZM stream (reference-decodable).
 
     parser: "greedy" (hash-chain matcher, fast) or "optimal"
     (forward-graph parse with the full matcher suite, best ratio).
     engine: "auto" (native if built) | "native" | "python".
+    progress: optional utils.metrics.ProgressLine (live status for the
+    Python engine; the native engine is a single call).
     """
     from .lz.encoder import SerialEncoder
 
@@ -151,4 +154,4 @@ def encode_bytes(
         payload, _, _ = native.encode_block(data, hist_bits, parser)
         header = hist_bits.to_bytes(2, "big") + frame_bits_for(hist_bits).to_bytes(2, "big")
         return header + payload + SENTINEL_FRAME
-    return SerialEncoder(hist_bits, parser=parser).encode(data)
+    return SerialEncoder(hist_bits, parser=parser, progress=progress).encode(data)

@@ -35,7 +35,10 @@ def _clamp(v, lo, hi):
 
 
 class SerialEncoder:
-    def __init__(self, hist_bits: int, parser: str = "optimal") -> None:
+    def __init__(self, hist_bits: int, parser: str = "optimal", progress=None) -> None:
+        # progress: optional utils.metrics.ProgressLine (reference-style
+        # live status, NLZM.cpp:1857-1868)
+        self.progress = progress
         self.hist_bits = hist_bits
         self.parser = parser
         self.total_reads = 0  # coded items across all frames
@@ -130,6 +133,8 @@ class SerialEncoder:
             self.total_reads += frame.num_ops
             out += frame.flush()
             chunk_start += p_end
+            if self.progress is not None:
+                self.progress.update(chunk_start, len(out))
 
     # ---- greedy path (fast stream generation) ----
 

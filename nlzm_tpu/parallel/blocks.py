@@ -77,6 +77,7 @@ def encode_container(
     engine: str = "auto",
     profile: str = "v1",
     depth_cap: int = 16,
+    progress=None,
 ) -> bytes:
     """Block encode. engine: auto (native if built) | native | serial | tpu.
 
@@ -154,12 +155,16 @@ def encode_container(
     else:
         payloads = []
         meta = []
+        done = 0
         for b in range(num_blocks):
             chunk = data[b * block_size : (b + 1) * block_size]
             enc = SerialEncoder(hist_bits, parser=parser)
             payload = enc.encode_frames(chunk)
             payloads.append(payload)
             meta.append((len(payload), enc.total_reads, enc.total_cmds))
+            done += len(chunk)
+            if progress is not None:
+                progress.update(done, sum(m[0] for m in meta))
 
     from ..utils.crc32 import crc32
 

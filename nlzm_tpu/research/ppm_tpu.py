@@ -1,4 +1,4 @@
-"""Batched TPU PPM-class codec: segment-parallel order-1 context mixing.
+"""Batched TPU PPM-class codec: segment-parallel order-2 context mixing.
 
 TPU counterpart of the PPM research codec (research/ppm.py): where the
 host codec walks a per-symbol-adaptive order-6 hash trie (inherently
@@ -8,14 +8,15 @@ profile restructures NLZM:
 
 - **Segments, not interleaves.** Each block splits into L=32 contiguous
   segments, one per rANS lane. A lane decodes its segment sequentially,
-  so its order-1 context (the previous byte) is its OWN previous output -
+  so its context (the previous bytes) is its OWN previous output -
   no cross-lane dependency inside a step. (Round-robin interleaving would
   make byte s's context byte s-1, owned by the neighboring lane in the
   same step - circular.)
-- **Order-1 nibble model.** Two reads per byte: hi nibble with the
-  previous byte's hi nibble as context (16 rows x 16), lo nibble with
-  the current hi nibble as context (16 rows x 16) - coarse contexts keep
-  the per-chunk counts dense enough to adapt. Tables are chunk-static and
+- **Order-2 nibble model.** Two reads per byte: hi nibble in a
+  quantized two-byte context (prev hi nibble + prev2 top 2 bits,
+  64 rows x 16), lo nibble keyed by the current hi nibble + prev top
+  2 bits (64 rows x 16) - quantization keeps the per-chunk counts dense
+  enough to adapt. Tables are chunk-static and
   rebuilt from realized counts on both sides (warmup 2/2/4/8 then 16
   steps, carry halving) - the wide profile's adaptation scheme.
 - **Same rANS.** 14-bit CDFs, 16-bit renorm, 4-byte LE lane seeds, renorm
@@ -38,10 +39,10 @@ from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
 from ..format.wide import build_cdf, chunk_schedule, padded_steps
 
 MAGIC = b"NLZC"
-VERSION = 1
+VERSION = 2  # v2: order-2 contexts (64 rows)
 LANES = 32
 DEFAULT_BLOCK = 32768
-ROWS = 16
+ROWS = 64
 BLEND = 2  # uniform prior mass per cell at each rebuild (guards noise rows)
 
 
@@ -52,9 +53,9 @@ def _seg_lens(nb: int):
     return S, lens
 
 
-def _rows_of(prev, hi):
-    """(row0, row1) context rows given previous byte and current hi."""
-    return prev >> 4, hi
+def _rows_of(prev, prev2, hi):
+    """(row0, row1) quantized order-2 context rows."""
+    return ((prev >> 4) << 2) | (prev2 >> 6), (hi << 2) | (prev >> 6)
 
 
 def encode_block(block: bytes) -> bytes:
@@ -76,10 +77,11 @@ def encode_block(block: bytes) -> bytes:
             continue
         seg = data[l * S : l * S + n]
         prev = np.concatenate([[0], seg[:-1]])
+        prev2 = np.concatenate([[0, 0], seg[:-2]])[:n]
         hi, lo = seg >> 4, seg & 15
         sym_hi[:n, l] = hi
         sym_lo[:n, l] = lo
-        r0, r1 = _rows_of(prev, hi)
+        r0, r1 = _rows_of(prev, prev2, hi)
         row0[:n, l] = r0
         row1[:n, l] = r1
         active[:n, l] = True
@@ -160,8 +162,13 @@ def compress(data: bytes, block_size: int = DEFAULT_BLOCK) -> bytes:
     return bytes(out)
 
 
-def decompress(blob: bytes) -> bytes:
-    """Batched device decode of an NLZC container."""
+def decompress(blob: bytes, mesh=None) -> bytes:
+    """Batched device decode of an NLZC container.
+
+    mesh: optional jax.sharding.Mesh - block-shards the stream words and
+    segment lengths over the mesh's first axis (data-parallel decode,
+    the same SPMD axis as the LZ pipelines; blocks pad to the mesh).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -182,11 +189,15 @@ def decompress(blob: bytes) -> bytes:
         return b""
 
     B = nblocks
+    pad_B = B
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.devices.size]))
+        pad_B = -(-B // n_dev) * n_dev
     wmax = (max(len(s) for s in streams) + 3) // 4 + 2
-    arr = np.zeros((B, 4 * wmax), np.uint8)
+    arr = np.zeros((pad_B, 4 * wmax), np.uint8)
     for b, s in enumerate(streams):
         arr[b, : len(s)] = np.frombuffer(s, np.uint8)
-    a4 = arr.reshape(B, wmax, 4).astype(np.uint32)
+    a4 = arr.reshape(pad_B, wmax, 4).astype(np.uint32)
     words = jnp.asarray(
         a4[:, :, 0] | (a4[:, :, 1] << 8) | (a4[:, :, 2] << 16) | (a4[:, :, 3] << 24)
     )
@@ -198,9 +209,19 @@ def decompress(blob: bytes) -> bytes:
     )
     S_b = -(-nb // LANES)
     seg = np.clip(nb[:, None] - np.arange(LANES)[None, :] * S_b[:, None], 0, S_b[:, None])
+    seg_pad = np.zeros((pad_B, LANES), np.int32)
+    seg_pad[:B] = seg
     steps = padded_steps(int(S_b.max()), 1)
-    out = _decode_blocks(words, jnp.asarray(seg.astype(np.int32)), steps)
-    out_np = np.asarray(out)  # [B, steps, LANES]
+    seg_dev = jnp.asarray(seg_pad)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        sh = NamedSharding(mesh, P(axis))
+        words = jax.device_put(words, sh)
+        seg_dev = jax.device_put(seg_dev, sh)
+    out = _decode_blocks(words, seg_dev, steps)
+    out_np = np.asarray(out)[:B]  # [B, steps, LANES]
 
     res = bytearray()
     for b in range(B):
@@ -279,29 +300,32 @@ def _decode_blocks(words, seg_lens, steps: int):
     lane_iota = jnp.arange(L, dtype=_I32)
 
     def step_body(carry, a):
-        x, cursor, prev, th, tl, ch, cl = carry
+        x, cursor, prev, prev2, th, tl, ch, cl = carry
         base = cursor >> 2
         win = jnp.take_along_axis(
             words, jnp.clip(base[:, None] + widx[None, :], 0, W - 1), axis=1
         )
         win_base = base << 2
-        hi, x, cursor, ch = read_one(x, cursor, win, win_base, th, ch, prev >> 4, a)
-        lo, x, cursor, cl = read_one(x, cursor, win, win_base, tl, cl, hi, a)
+        r0 = ((prev >> 4) << 2) | (prev2 >> 6)
+        hi, x, cursor, ch = read_one(x, cursor, win, win_base, th, ch, r0, a)
+        r1 = (hi << 2) | (prev >> 6)
+        lo, x, cursor, cl = read_one(x, cursor, win, win_base, tl, cl, r1, a)
         byte = (hi << 4) | lo
+        prev2 = jnp.where(a, prev, prev2)
         prev = jnp.where(a, byte, prev)
-        return (x, cursor, prev, th, tl, ch, cl), byte
+        return (x, cursor, prev, prev2, th, tl, ch, cl), byte
 
     def chunk_body(carry, xs):
-        x, cursor, prev, th, tl, carry_h, carry_l = carry
+        x, cursor, prev, prev2, th, tl, carry_h, carry_l = carry
         act = xs  # [clen, B, L]
         ch = jnp.zeros((B, ROWS, 16), _I32)
         cl = jnp.zeros((B, ROWS, 16), _I32)
-        (x, cursor, prev, _, _, ch, cl), ys = jax.lax.scan(
-            step_body, (x, cursor, prev, th, tl, ch, cl), act
+        (x, cursor, prev, prev2, _, _, ch, cl), ys = jax.lax.scan(
+            step_body, (x, cursor, prev, prev2, th, tl, ch, cl), act
         )
         carry_h = (carry_h >> 1) + ch
         carry_l = (carry_l >> 1) + cl
-        return (x, cursor, prev, build_jnp(carry_h), build_jnp(carry_l), carry_h, carry_l), ys
+        return (x, cursor, prev, prev2, build_jnp(carry_h), build_jnp(carry_l), carry_h, carry_l), ys
 
     @partial(jax.jit, static_argnames=("steps",))
     def run(words_, seg_lens_, steps: int):
@@ -311,7 +335,7 @@ def _decode_blocks(words, seg_lens, steps: int):
         cursor0 = jnp.full((B,), 4 * L, _I32)
         prev0 = jnp.zeros((B, L), _I32)
         carry = (
-            seeds, cursor0, prev0, tables0, tables0,
+            seeds, cursor0, prev0, prev0, tables0, tables0,
             jnp.zeros((B, ROWS, 16), _I32), jnp.zeros((B, ROWS, 16), _I32),
         )
         schedule = chunk_schedule(steps)

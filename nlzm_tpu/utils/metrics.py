@@ -82,3 +82,51 @@ def memory_report(hist_bits: int, block_size: int = 0, batch_blocks: int = 0) ->
         lines.append(f"  TPU model bank:    {kb(bank)}  ({batch_blocks} blocks)")
         lines.append(f"  TPU streams+out:   {kb(streams + out)}")
     return "\n".join(lines)
+
+
+class ProgressLine:
+    """Reference-style carriage-return progress/ETA line.
+
+    Mirrors print_fill (NLZM.cpp:1695-1709, usage :1857-1868): rewrites
+    one status line in place, erasing the previous line's tail with
+    spaces, and estimates time left from bytes processed so far. Prints
+    at most every `interval` seconds and only when stderr is a TTY
+    (or `force`)."""
+
+    def __init__(self, total: int, label: str = "Working", interval: float = 0.25, force: bool = False):
+        import sys
+
+        self.total = max(total, 1)
+        self.label = label
+        self.interval = interval
+        self.t0 = time.time()
+        self.last_print = 0.0
+        self.last_width = 0
+        self.enabled = force or sys.stderr.isatty()
+
+    def update(self, done: int, out_bytes: int | None = None) -> None:
+        if not self.enabled:
+            return
+        now = time.time()
+        if now - self.last_print < self.interval and done < self.total:
+            return
+        self.last_print = now
+        elapsed = now - self.t0
+        msg = f"{self.label}... {done} / {self.total}"
+        if out_bytes is not None:
+            msg += f" -> {out_bytes}"
+        if done and elapsed > 1.0 and done < self.total:
+            left = max(2, int(elapsed * (self.total - done) / done))
+            msg += f" ~{left} seconds left"
+        import sys
+
+        pad = " " * max(0, self.last_width - len(msg))
+        print(f"{msg}{pad}\r", end="", file=sys.stderr, flush=True)
+        self.last_width = len(msg)
+
+    def finish(self) -> None:
+        if not self.enabled or not self.last_width:
+            return
+        import sys
+
+        print(" " * self.last_width + "\r", end="", file=sys.stderr, flush=True)

@@ -25,3 +25,17 @@ def test_roundtrip_random(corpus_samples):
     blob = ppm_tpu.compress(data, block_size=4096)
     assert ppm_tpu.decompress(blob) == data
     assert len(blob) < len(data) * 1.15
+
+
+def test_order2_mesh_sharded_decode(corpus_text):
+    """Order-2 NLZC decodes block-sharded on the virtual device mesh."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from nlzm_tpu.research import ppm_tpu
+
+    data = corpus_text(130000)  # 4 blocks + a short tail block
+    blob = ppm_tpu.compress(data, block_size=32768)
+    mesh = Mesh(np.asarray(jax.devices()), ("blocks",))
+    assert ppm_tpu.decompress(blob, mesh=mesh) == data
