@@ -43,7 +43,10 @@ from .decode_v2 import _init_state, _uniform_cells  # family layout reuse
 _U32 = jnp.uint32
 _I32 = jnp.int32
 
-MAX_MLEN = 64  # greedy TPU profile caps matches at the nice length
+MAX_MLEN = 264  # reference MATCH_MAX (NLZM.cpp:737)
+# dp_parse relaxes every length 1..64 densely, then samples longer
+# lengths like the reference's tstep sampling (NLZM.cpp:1558-1560)
+DP_LENS = tuple(range(1, 65)) + (72, 80, 96, 112, 128, 160, 192, 224, 264)
 
 
 # ---------------------------------------------------------------- E1
@@ -218,7 +221,7 @@ def dp_parse(
     c_lit, c_cmd_m, c_len_base, c_len_slope, c_len_esc, c_dist_slot = (
         costs[:, 0], costs[:, 1], costs[:, 2], costs[:, 3], costs[:, 4], costs[:, 5]
     )  # each [B]
-    lens = jnp.arange(1, max_len + 1, dtype=_I32)  # [L]
+    lens = jnp.asarray([l for l in DP_LENS if l <= max_len], dtype=_I32)  # [L]
 
     def step(win, xs):
         d_t, l_t, i = xs  # [B, C], [B, C], scalar index
@@ -243,7 +246,7 @@ def dp_parse(
             c_len_base[:, None, None] + jnp.maximum(lv, 0) * c_len_slope[:, None, None],
             c_len_esc[:, None, None],
         )
-        tot = dist_c[:, None, :] + len_c + win[:, :max_len, None]  # [B, L, C]
+        tot = dist_c[:, None, :] + len_c + win[:, lens - 1, None]  # [B, L, C]
         valid = (
             (lv >= 0)
             & (lens[None, :, None] <= l_t[:, None, :])
@@ -251,10 +254,10 @@ def dp_parse(
         )
         tot = jnp.where(valid, tot, _DP_BIG)
 
-        flat = tot.reshape(B, max_len * C)
+        flat = tot.reshape(B, lens.shape[0] * C)
         am = jnp.argmin(flat, axis=1)
         mc = jnp.take_along_axis(flat, am[:, None], axis=1)[:, 0]
-        best_len = (am // C) + 1
+        best_len = lens[am // C]
         best_cand = am % C
 
         lit_c = c_lit + win[:, 0]  # both [B]
@@ -701,7 +704,7 @@ def _calibrated_parse(dj, nv, reach: int, num_steps: int):
     cost calibration (converges by pass 3: realized model costs feed the
     next parse, like the reference's live-model edge pricing but
     batched)."""
-    delta, mlen = find_matches(dj, nv, reach, num_cands=2)
+    delta, mlen = find_matches(dj, nv, reach, num_cands=3)
     costs = None
     for i in range(3):
         choice_len, choice_cand = dp_parse(delta, mlen, nv, costs)
