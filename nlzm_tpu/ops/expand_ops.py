@@ -10,16 +10,18 @@ fills the output. This replaces both the reference's byte-serial copy loop
 
 Two formulations of the per-round composition p <- p o p:
 
-- sort path (default for block_size <= PACK_MAX = 32768): TPU has no per-lane gather
-  hardware, but its sorts run ~15x faster per element than XLA's gather
-  lowering (measured on v5e: sort ~1.2G elem/s vs gather ~70M elem/s). A
-  gather by arbitrary index is restructured as: merge (source, query)
-  records keyed by position into one packed i32 sort, forward-fill the
-  latest source payload with a cummax (packed keys are monotone in
-  position), and route results back to query order with a second packed
-  sort. Net ~2x per round over take_along_axis, and the prologue's
-  command-attribute gathers collapse into a scatter + cummax fill.
-- gather path (large blocks): plain take_along_axis pointer doubling.
+- packed path (block_size <= PACK_MAX = 32768): TPU has no per-lane gather
+  hardware, but its sorts run ~15-25x faster per element than XLA's gather
+  lowering (measured on v5e: unstable sort ~2G elem/s vs gather ~70M
+  elem/s). A gather by arbitrary index is restructured as: merge
+  (source, query) records keyed by position into one packed i32 sort,
+  forward-fill the latest source payload with a cummax (packed keys are
+  monotone in position), and route results back to query order with a
+  second packed sort. The prologue's command-attribute gathers collapse
+  into a scatter + cummax fill.
+- 2-operand path (big blocks, up to 128 KiB): same structure with
+  (key, payload) sorts and an associative take-latest fill - no
+  position/payload bit budget, ~1.8x the per-element cost.
 
 Inputs are the step-aligned command arrays from fsm_decode_v2.
 """
@@ -31,7 +33,13 @@ import jax.numpy as jnp
 
 _I32 = jnp.int32
 
-from .sort_gather import PACK_MAX as _PACK_MAX, PB as _PB, gather_sorted as _gather_sorted
+from .sort_gather import (
+    PACK_MAX as _PACK_MAX,
+    PB as _PB,
+    _fill_latest,
+    gather_sorted as _gather_sorted,
+    gather_sorted2 as _gather_sorted2,
+)
 
 
 def _cmd_attrs_scatter(lens, starts, val_list, block_size):
@@ -53,6 +61,24 @@ def _cmd_attrs_scatter(lens, starts, val_list, block_size):
         f = jax.lax.cummax(grid[:, :block_size], axis=1)
         # positions of empty (padding) blocks read as 0
         out.append(jnp.maximum(f, 0) & ((1 << vbits) - 1))
+    return out
+
+
+def _cmd_attrs_scatter2(lens, starts, val_list, block_size):
+    """Big-block (> PACK_MAX) command attributes: per-value scatter +
+    associative take-latest fill (no position/payload packing budget)."""
+    B = lens.shape[0]
+    barange = jnp.arange(B)[:, None]
+    dst = jnp.where(lens > 0, starts, block_size)
+
+    flag = jnp.zeros((B, block_size + 1), bool)
+    flag = flag.at[barange, dst].set(True, mode="drop")
+    flag = flag[:, :block_size]
+    out = []
+    for vals, _vbits in val_list:
+        grid = jnp.zeros((B, block_size + 1), _I32)
+        grid = grid.at[barange, dst].set(vals, mode="drop")
+        out.append(_fill_latest(flag, grid[:, :block_size]))
     return out
 
 
@@ -84,17 +110,10 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
             lens, starts, [(deltas, _PB), (lit_byte, 8), (starts, _PB)], block_size
         )
     else:
-        # command index covering each output position: one histogram
-        # scatter-add of command ends + a cumsum
-        barange = jnp.arange(B)[:, None]
-        marks = jnp.zeros((B, block_size + 1), _I32)
-        marks = marks.at[barange, jnp.minimum(ends, block_size)].add(1)
-        cmd_idx = jnp.cumsum(marks[:, :block_size], axis=1)
-        cmd_idx = jnp.clip(cmd_idx, 0, T - 1)
-        take = lambda arr: jnp.take_along_axis(arr, cmd_idx, axis=1)  # [B, N]
-        d_at = take(deltas)
-        lit_at = take(lit_byte)
-        m_at = take(starts)
+        # big blocks: same scatter+fill shape without the packing budget
+        d_at, lit_at, m_at = _cmd_attrs_scatter2(
+            lens, starts, [(deltas, 0), (lit_byte, 0), (starts, 0)], block_size
+        )
 
     # parent pointer: literals root at themselves. For matches the chain
     # i -> i-d -> i-2d ... inside the command is periodic, so the modular
@@ -109,9 +128,7 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
 
     # pointer doubling with early exit: round k resolves chains <= 2^k
     rounds = max(1, (block_size - 1).bit_length())
-    compose = _gather_sorted if use_sort else (
-        lambda p, q: jnp.take_along_axis(p, q, axis=1)
-    )
+    compose = _gather_sorted if use_sort else _gather_sorted2
 
     if rounds_hint is None:
 
@@ -138,10 +155,7 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
 
         _, parent = jax.lax.while_loop(cond2, body2, (0, parent))
 
-    if use_sort:
-        out = _gather_sorted(lit_at, parent).astype(jnp.uint8)
-    else:
-        out = jnp.take_along_axis(lit_at, parent, axis=1).astype(jnp.uint8)
+    out = compose(lit_at, parent).astype(jnp.uint8)
     # zero out past-end positions
     out = jnp.where(pos < produced[:, None], out, 0)
     return out, produced

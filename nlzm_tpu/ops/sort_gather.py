@@ -77,6 +77,55 @@ def gather_sorted16(src_vals: jax.Array, queries: jax.Array) -> jax.Array:
     return (s2[:, :Q] & jnp.asarray(0xFFFF, u32)).astype(_I32)
 
 
+def _fill_latest(flag: jax.Array, val: jax.Array):
+    """Forward-fill val from the latest position with flag set (per row).
+
+    Associative take-latest scan - the unbounded-width analog of the
+    packed cummax fill (no position/payload bit budget)."""
+
+    def comb(a, b):
+        return (a[0] | b[0], jnp.where(b[0], b[1], a[1]))
+
+    return jax.lax.associative_scan(comb, (flag, val), axis=1)[1]
+
+
+def gather_sorted2(src_vals: jax.Array, queries: jax.Array) -> jax.Array:
+    """gather_sorted for arbitrary widths/payloads via 2-operand sorts.
+
+    out[b, k] = src_vals[b, queries[b, k]]. Positions and payloads are
+    full i32 (no PACK_MAX cap) - used by the big-block (> 32 KiB) wide
+    profile. ~1.8x the per-element cost of the packed single-i32 path,
+    so the packed variant stays the default under the 15-bit budget.
+    """
+    B, N = src_vals.shape
+    Q = queries.shape[1]
+    iota_n = jnp.arange(N, dtype=_I32)
+    iota_q = jnp.arange(Q, dtype=_I32)
+    # key = pos*2 | tag: unique (one source per position, one query per slot)
+    k1 = jnp.concatenate(
+        [jnp.broadcast_to(iota_n * 2, (B, N)), queries * 2 + 1], axis=1
+    )
+    pay = jnp.concatenate([src_vals, jnp.broadcast_to(iota_q, (B, Q))], axis=1)
+    k_s, p_s = jax.lax.sort((k1, pay), dimension=1, num_keys=1, is_stable=False)
+    is_q = (k_s & 1) == 1
+    val = _fill_latest(~is_q, jnp.where(is_q, 0, p_s))
+    dest = jnp.where(is_q, p_s, jnp.iinfo(jnp.int32).max)  # sources sort last
+    d_s, v_s = jax.lax.sort((dest, val), dimension=1, num_keys=1, is_stable=False)
+    return v_s[:, :Q]
+
+
+def compact_by_rank2(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_width: int) -> jax.Array:
+    """compact_by_rank for arbitrary widths/payloads (2-operand sort)."""
+    B, K = vals.shape
+    key = jnp.where(pred, rank, jnp.iinfo(jnp.int32).max)
+    k_s, v_s = jax.lax.sort((key, vals), dimension=1, num_keys=1, is_stable=False)
+    out = v_s[:, :out_width]
+    valid = jnp.arange(out_width, dtype=_I32)[None, :] < jnp.sum(
+        pred.astype(_I32), axis=1, keepdims=True
+    )
+    return jnp.where(valid, out, 0)
+
+
 def compact_by_rank(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_width: int) -> jax.Array:
     """out[b, rank[b, k]] = vals[b, k] for pred; one packed sort.
 

@@ -27,7 +27,14 @@ import numpy as np
 
 from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
 from ..format.wide import CHUNK_STEPS, PLANES
-from .sort_gather import compact_by_rank, gather_sorted, gather_sorted16
+from .sort_gather import (
+    PACK_MAX,
+    compact_by_rank,
+    compact_by_rank2,
+    gather_sorted,
+    gather_sorted2,
+    gather_sorted16,
+)
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
@@ -232,10 +239,15 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
 
 
 # ------------------------------------------------------------- assembly
-@partial(jax.jit, static_argnames=("dst_width",))
-def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width):
+@partial(jax.jit, static_argnames=("dst_width", "big"))
+def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width, big=False):
     """Stage A: everything decodable before the dst plane (whose scan
-    needs the lc context). Returns per-command arrays + dst ctx."""
+    needs the lc context). Returns per-command arrays + dst ctx.
+
+    big selects the 2-operand sort primitives (no 15-bit packing budget)
+    for block sizes above PACK_MAX."""
+    G = gather_sorted2 if big else gather_sorted
+    C = compact_by_rank2 if big else compact_by_rank
     B, Tc = tok_y.shape
     k = jnp.arange(Tc, dtype=_I32)[None, :]
     active = k < n_cmds[:, None]
@@ -245,20 +257,20 @@ def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width):
     is_match = is_rep | is_dict
 
     m_rank = jnp.cumsum(is_match.astype(_I32), axis=1) - is_match.astype(_I32)
-    len_sym = jnp.where(is_match, gather_sorted(len_y, m_rank), 0)
+    len_sym = jnp.where(is_match, G(len_y, m_rank), 0)
     esc = is_match & (len_sym == 7)
     lex_rank = jnp.cumsum(esc.astype(_I32), axis=1) - esc.astype(_I32)
     lex_vals = (lex_hi << 4) | lex_lo
-    ext = jnp.where(esc, gather_sorted(lex_vals, lex_rank), 0)
+    ext = jnp.where(esc, G(lex_vals, lex_rank), 0)
     lv = jnp.where(esc, 7 + ext, len_sym)
     lc = jnp.clip(lv, 0, 3)
 
     d_rank = jnp.cumsum(is_dict.astype(_I32), axis=1) - is_dict.astype(_I32)
-    lc_dict = compact_by_rank(lc, d_rank, is_dict, dst_width)
+    lc_dict = C(lc, d_rank, is_dict, dst_width)
     return is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict
 
 
-def _bits_fetch(bit_half, offs, width):
+def _bits_fetch(bit_half, offs, width, big=False):
     """MSB-first field of `width` bits at bit offset `offs` (both [B, Tc]).
 
     bit_half: [B, H] big-endian halfwords of the raw-bit plane. Fields
@@ -269,8 +281,9 @@ def _bits_fetch(bit_half, offs, width):
     """
     h0 = offs >> 4
     hm = bit_half.shape[1] - 1
-    hw0 = gather_sorted16(bit_half, jnp.clip(h0, 0, hm))
-    hw1 = gather_sorted16(bit_half, jnp.clip(h0 + 1, 0, hm))
+    G16 = gather_sorted2 if big else gather_sorted16
+    hw0 = G16(bit_half, jnp.clip(h0, 0, hm))
+    hw1 = G16(bit_half, jnp.clip(h0 + 1, 0, hm))
     word = (hw0.astype(_U32) << 16) | hw1.astype(_U32)
     sh = (offs & 15).astype(_U32)
     w = jnp.clip(width, 0, 16).astype(_U32)
@@ -280,45 +293,45 @@ def _bits_fetch(bit_half, offs, width):
     return jnp.where(width > 0, v.astype(_I32), 0)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("big",))
 def assemble_post_dst(
     is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-    lit_hi, lit_lo, dst_hi, dst_lo, bit_half, n_cmds,
+    lit_hi, lit_lo, dst_hi, dst_lo, bit_half, n_cmds, big=False,
 ):
     """Stage B: distances, rep resolution, literals, raw bits ->
     (op_len [Tc, B], op_val [Tc, B]) for lz_expand_parallel."""
+    G = gather_sorted2 if big else gather_sorted
+    C = compact_by_rank2 if big else compact_by_rank
     B, Tc = is_lit.shape
     active = is_lit | is_rep | is_dict
 
     slot_d = (dst_hi << 3) | dst_lo  # dict-aligned
-    slot = jnp.where(is_dict, gather_sorted(slot_d, d_rank), 0)
-    big = slot >= 4
-    # clamp to the format maximum (32 KiB blocks -> dv < 2^15 -> ab <= 13)
+    slot = jnp.where(is_dict, G(slot_d, d_rank), 0)
+    is_big_slot = slot >= 4
+    # clamp to the format maximum (128 KiB blocks -> dv < 2^17 -> ab <= 15)
     # so corrupted payloads degrade to a CRC failure instead of overflowing
     # the shifted intermediates below
-    ab = jnp.clip(jnp.where(is_dict & big, (slot >> 1) - 1, 0), 0, 13)
+    ab = jnp.clip(jnp.where(is_dict & is_big_slot, (slot >> 1) - 1, 0), 0, 15)
 
     widths = jnp.where(is_rep, 2, 0) + ab
     offs = jnp.cumsum(widths, axis=1) - widths
-    v = _bits_fetch(bit_half, offs, widths)
+    v = _bits_fetch(bit_half, offs, widths, big)
     rep_idx = jnp.where(is_rep, v, 0)
     extra = jnp.where(is_dict, v, 0)
 
-    dv = jnp.where(big, ((2 + (slot & 1)) << ab) + extra, slot)
+    dv = jnp.where(is_big_slot, ((2 + (slot & 1)) << ab) + extra, slot)
     delta_dict = jnp.where(is_dict, dv + 1, 0)
 
     # rep resolution: r-th most recent dict distance (virtual history
     # 1,2,3,4 before the first dict command)
-    D = compact_by_rank(delta_dict, d_rank, is_dict, Tc)
+    D = C(delta_dict, d_rank, is_dict, Tc)
     j = d_rank - 1 - rep_idx
-    delta_rep = jnp.where(
-        j >= 0, gather_sorted(D, jnp.maximum(j, 0)), -j
-    )
+    delta_rep = jnp.where(j >= 0, G(D, jnp.maximum(j, 0)), -j)
     delta = jnp.where(is_rep, delta_rep, delta_dict)
 
     lit_rank = jnp.cumsum(is_lit.astype(_I32), axis=1) - is_lit.astype(_I32)
     lit_vals = (lit_hi << 4) | lit_lo
-    byte = jnp.where(is_lit, gather_sorted(lit_vals, lit_rank), 0)
+    byte = jnp.where(is_lit, G(lit_vals, lit_rank), 0)
 
     mmin = (
         2
@@ -454,9 +467,10 @@ def decode_wide_staged(staged, block_size: int):
     pr = lambda name: tuple(priors[name]) if priors else None
     padw = lambda i: steps[i] * PLANES[i].lanes
     zero_ctx = lambda i: jnp.zeros((B, padw(i)), _I32)
+    big = block_size > PACK_MAX  # 2-operand sort path for > 32 KiB blocks
     # plane pad can exceed the 15-bit packed-sort budget by one chunk;
     # symbol counts never do (every command produces >= 1 byte)
-    cap15 = lambda a: a[:, : min(a.shape[1], 1 << 15)]
+    cap15 = (lambda a: a) if big else (lambda a: a[:, : min(a.shape[1], 1 << 15)])
 
     scan = lambda i, ctx: plane_scan(
         seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name)
@@ -470,14 +484,14 @@ def decode_wide_staged(staged, block_size: int):
     )
 
     is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
-        tok_y, n_sym[0], len_y, lex_hi, lex_lo, padw(4)
+        tok_y, n_sym[0], len_y, lex_hi, lex_lo, padw(4), big
     )
     dst_hi, dst_lo = scan(4, lc_dict)
     dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
 
     op_len, op_val = assemble_post_dst(
         is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-        lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_half"], n_sym[0],
+        lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_half"], n_sym[0], big,
     )
     return lz_expand_parallel(op_len, op_val, block_size, rounds_hint)
 

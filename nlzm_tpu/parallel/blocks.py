@@ -47,7 +47,7 @@ FLAG_WIDE = 0x02  # blocks use the wide profile (format/wide.py)
 FLAG_PRIORS = 0x04  # container-level wide warm-start priors blob follows
 
 DEFAULT_BLOCK_SIZE = 1 << 17  # 128 KB: 5 frames/block at hist_bits 17
-WIDE_MAX_BLOCK = 32768  # 15-bit packed-sort position/payload budget
+WIDE_MAX_BLOCK = 131072  # 2-op sort path above 32 KiB; i32 position budget
 
 
 @dataclass
@@ -104,9 +104,13 @@ def encode_container(
 
     flags = FLAG_CRC32
     if profile == "wide":
-        # the packed-sort primitives carry 15-bit positions/payloads
         if block_size > WIDE_MAX_BLOCK:
-            raise ValueError("wide profile caps blocks at 32 KiB")
+            raise ValueError("wide profile caps blocks at 128 KiB")
+        if engine == "tpu" and block_size > 32768:
+            raise ValueError(
+                "device parse caps blocks at 32 KiB (i32 sort-key budget); "
+                "use the native parser for bigger blocks"
+            )
         flags |= FLAG_WIDE
         from .. import native
         from ..format.wide import encode_wide_blocks

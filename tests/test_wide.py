@@ -201,3 +201,14 @@ def test_three_way_differential_with_priors():
         expected = b"".join(o.ljust(N, b"\x00") for o in outs)
         got = decode_wide_blocks(payloads, N, 3 * N, blob)
         assert got == expected
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bs", [65536, 131072])
+def test_wide_big_block_roundtrip(corpus_text, bs):
+    """Big-block wide profile (2-operand sort path, > PACK_MAX)."""
+    data = corpus_text(3 * bs // 2 + 12345)  # one full + one short block
+    c = encode_container(data, block_size=bs, parser="optimal", profile="wide")
+    assert decode_container(c) == data
+    # host decoders agree
+    assert decode_container(c, engine="serial") == data
