@@ -78,7 +78,8 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from nlzm_tpu.ops.wide_decode import decode_wide_staged, prepare_wide, rounds_hint_of
+    from nlzm_tpu.ops.wide_decode import (
+        decode_wide_staged, prepare_wide_bucketed, rounds_hint_of)
     from nlzm_tpu.parallel.blocks import block_payloads, encode_container, parse_container
 
     data = build_corpus(CORPUS_MB * 1_000_000)
@@ -113,20 +114,29 @@ def main() -> None:
         cache.write_bytes(container)
 
     info = parse_container(container)
-    staged = prepare_wide(block_payloads(container, info), info.wide_priors)
-    staged["rounds_hint"] = rounds_hint_of(max(info.total_reads, default=0))
+    buckets = prepare_wide_bucketed(block_payloads(container, info), info.wide_priors)
+    hint = rounds_hint_of(max(info.total_reads, default=0))
+    for staged, _ in buckets:
+        staged["rounds_hint"] = hint
 
     # warmup/compile + full correctness check (untimed)
-    out, produced = decode_wide_staged(staged, info.block_size)
-    got = np.asarray(out).reshape(-1)[: info.total_len].tobytes()
-    assert got == data, "TPU wide decode mismatch"
+    full = np.empty(len(info.comp_sizes) * info.block_size, np.uint8)
+    for staged, idx in buckets:
+        out, produced = decode_wide_staged(staged, info.block_size)
+        out_np = np.asarray(out)
+        for row, b in enumerate(idx):
+            full[b * info.block_size : (b + 1) * info.block_size] = out_np[row]
+    assert full.tobytes()[: info.total_len] == data, "TPU wide decode mismatch"
 
     # timed runs: force completion through a checksum value fetch
     times = []
     for _ in range(3):
         t0 = time.time()
-        out, produced = decode_wide_staged(staged, info.block_size)
-        float(np.asarray(jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)))
+        acc = jnp.zeros((), jnp.int32)
+        for staged, _ in buckets:
+            out, produced = decode_wide_staged(staged, info.block_size)
+            acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+        float(np.asarray(acc))
         times.append(time.time() - t0)
     best = min(times)
     mbs = len(data) / best / 1e6

@@ -496,6 +496,30 @@ def decode_wide_staged(staged, block_size: int):
     return lz_expand_parallel(op_len, op_val, block_size, rounds_hint)
 
 
+def prepare_wide_bucketed(payloads, priors_blob: bytes | None = None, n_buckets: int = 2):
+    """Bucket blocks by command count before staging.
+
+    Scan step counts and assembly widths are static per batch, sized by
+    the WORST block (16.9k commands vs ~4.4k median on the bench mix) -
+    one outlier makes every block pay its padding. Splitting the batch
+    into quantile buckets lets each run at its own (smaller) widths.
+    Returns a list of (staged, block_index_list); buckets are quantile
+    splits by tok symbol count.
+    """
+    B = len(payloads)
+    if B <= n_buckets * 8:
+        return [(prepare_wide(payloads, priors_blob), list(range(B)))]
+    tok_counts = [int.from_bytes(p[0:4], "big") for p in payloads]
+    order = sorted(range(B), key=lambda b: tok_counts[b])
+    out = []
+    for k in range(n_buckets):
+        idx = order[k * B // n_buckets : (k + 1) * B // n_buckets]
+        if not idx:
+            continue
+        out.append((prepare_wide([payloads[b] for b in idx], priors_blob), idx))
+    return out
+
+
 def decode_wide_blocks(
     payloads, block_size: int, total_len: int,
     priors_blob: bytes | None = None, max_depth: int = 0,
@@ -504,9 +528,15 @@ def decode_wide_blocks(
 
     max_depth > 0 (from the container's per-block depth fields) lets the
     expander run its exact round budget instead of detecting convergence.
+    Blocks run in command-count buckets (prepare_wide_bucketed) so one
+    command-dense block does not size every block's scan/sort widths.
     """
-    staged = prepare_wide(payloads, priors_blob)
-    staged["rounds_hint"] = rounds_hint_of(max_depth)
-    out, produced = decode_wide_staged(staged, block_size)
-    out_np = np.asarray(out).reshape(-1)
-    return out_np[: staged["B"] * block_size].tobytes()[:total_len]
+    buckets = prepare_wide_bucketed(payloads, priors_blob)
+    full = np.empty(len(payloads) * block_size, np.uint8)
+    for staged, idx in buckets:
+        staged["rounds_hint"] = rounds_hint_of(max_depth)
+        out, produced = decode_wide_staged(staged, block_size)
+        out_np = np.asarray(out)
+        for row, b in enumerate(idx):
+            full[b * block_size : (b + 1) * block_size] = out_np[row]
+    return full.tobytes()[:total_len]
