@@ -55,12 +55,16 @@ def _cmd_attrs_scatter(lens, starts, val_list, block_size):
     dst = jnp.where(lens > 0, starts, block_size)
 
     out = []
+    m_at = None
     for vals, vbits in val_list:
         grid = jnp.full((B, block_size + 1), -1, _I32)
         grid = grid.at[barange, dst].set((starts << vbits) | vals, mode="drop")
         f = jax.lax.cummax(grid[:, :block_size], axis=1)
-        # positions of empty (padding) blocks read as 0
-        out.append(jnp.maximum(f, 0) & ((1 << vbits) - 1))
+        f = jnp.maximum(f, 0)  # positions of empty (padding) blocks read 0
+        out.append(f & ((1 << vbits) - 1))
+        if m_at is None:
+            m_at = f >> vbits  # covering command's start rides the high bits
+    out.append(m_at)
     return out
 
 
@@ -107,7 +111,7 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
     starts = ends - lens
     if use_sort:
         d_at, lit_at, m_at = _cmd_attrs_scatter(
-            lens, starts, [(deltas, _PB), (lit_byte, 8), (starts, _PB)], block_size
+            lens, starts, [(deltas, _PB), (lit_byte, 8)], block_size
         )
     else:
         # big blocks: same scatter+fill shape without the packing budget
