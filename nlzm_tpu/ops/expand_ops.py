@@ -86,6 +86,83 @@ def _cmd_attrs_scatter2(lens, starts, val_list, block_size):
     return out
 
 
+_U32 = jnp.uint32
+_PADKEY = jnp.uint32(0xFFFFFFFF)  # inert record: sorts last, never a query
+
+
+def _sparse_fill(src_pos, src_valid, src_pay, qry_key, qry_pay, post):
+    """Merged sort + cummax fill with SPARSE sources (u32 keys).
+
+    Sources key (pos<<1)<<PB | pay; queries ((key<<1)|1)<<PB | pay.
+    Invalid sources become _PADKEY (sort last, fill nothing, excluded
+    from the route-back). `post(filled, qpay)` maps each query's filled
+    source word + its own payload to a 15-bit result, which one
+    route-back sort returns in qry-payload order (payloads must be a
+    permutation of 0..Q-1, i.e. iota). Replaces full-width scatter+
+    cummax grids: sorts run ~2x faster than scatters here.
+    """
+    B, Q = qry_key.shape
+    src_e = jnp.where(
+        src_valid,
+        ((src_pos.astype(_U32) << 1) << _PB) | src_pay.astype(_U32),
+        _PADKEY,
+    )
+    qry_e = (((qry_key.astype(_U32) << 1) | 1) << _PB) | qry_pay.astype(_U32)
+    s = jax.lax.sort(jnp.concatenate([src_e, qry_e], axis=1), dimension=1, is_stable=False)
+    is_q = ((s >> _PB) & 1).astype(jnp.bool_) & (s != _PADKEY)
+    filled = jax.lax.cummax(jnp.where(is_q | (s == _PADKEY), jnp.uint32(0), s), axis=1)
+    res = post(filled, (s & (_PACK_MAX - 1)).astype(_I32))  # 15-bit result
+    key2 = jnp.where(
+        is_q,
+        ((s & (_PACK_MAX - 1)) << _PB) | res.astype(_U32),
+        _PADKEY,
+    )
+    s2 = jax.lax.sort(key2, dimension=1, is_stable=False)
+    return (s2[:, :Q] & (_PACK_MAX - 1)).astype(_I32)
+
+
+def _parent_fill_sorted(lens, starts, deltas, block_size):
+    """Packed-path parent construction, scatter-free.
+
+    One merged sort of (command records keyed by start, position queries)
+    + cummax gives every position its covering command's (start, delta)
+    packed in one word; the modular parent m - d + ((i - m) mod d) is
+    computed IN MERGED ORDER (its result fits the 15-bit route-back
+    payload, unlike the (start, delta) pair would).
+    """
+    B, T = lens.shape
+    N = block_size
+    iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+
+    def post(filled, qpay):
+        m_at = (filled >> (_PB + 1)).astype(_I32)
+        d_at = (filled & (_PACK_MAX - 1)).astype(_I32)
+        d_safe = jnp.maximum(d_at, 1)
+        par = jnp.where(d_at == 0, qpay, m_at - d_at + ((qpay - m_at) % d_safe))
+        return jnp.clip(par, 0, N - 1)
+
+    return _sparse_fill(starts, lens > 0, deltas, iota_n, iota_n, post)
+
+
+def _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size):
+    """Packed-path final byte resolution with SPARSE sources.
+
+    After the doubling rounds every parent is a literal position, so the
+    byte gather's sources need only the literal commands - no dense
+    lit_at array (and no scatter building it)."""
+    B, T = lens.shape
+    N = block_size
+    iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+    is_lit = op_len_t == 0
+
+    def post(filled, qpay):
+        return (filled & jnp.uint32(0xFF)).astype(_I32)
+
+    return _sparse_fill(
+        starts, is_lit, jnp.where(is_lit, op_val_t, 0), parent, iota_n, post
+    )
+
+
 @partial(jax.jit, static_argnames=("block_size",))
 def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, rounds_hint=None):
     """op_len/op_val: [T, B] (op_len<0 past end, 0 literal, else match len).
@@ -97,10 +174,11 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
     Returns (out [B, block_size] uint8, produced [B]).
     """
     T, B = op_len.shape
-    lens = jnp.where(op_len < 0, 0, jnp.where(op_len == 0, 1, op_len)).T  # [B, T]
-    is_lit = (op_len == 0).T
-    deltas = jnp.where(is_lit, 0, op_val.T)  # [B, T]
-    lit_byte = jnp.where(is_lit, op_val.T, 0)  # [B, T]
+    op_len_t = op_len.T
+    op_val_t = op_val.T
+    lens = jnp.where(op_len_t < 0, 0, jnp.where(op_len_t == 0, 1, op_len_t))  # [B, T]
+    is_lit = op_len_t == 0
+    deltas = jnp.where(is_lit, 0, op_val_t)  # [B, T]
 
     ends = jnp.cumsum(lens, axis=1)  # [B, T] exclusive-end of each command
     produced = ends[:, -1]
@@ -110,25 +188,20 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
 
     starts = ends - lens
     if use_sort:
-        d_at, lit_at, m_at = _cmd_attrs_scatter(
-            lens, starts, [(deltas, _PB), (lit_byte, 8)], block_size
-        )
+        # parent pointer, scatter-free: literals root at themselves; for
+        # matches the chain i -> i-d -> ... is periodic inside the
+        # command, so the modular closed form m - d + ((i - m) mod d)
+        # lands strictly before the command start in ONE hop - chain
+        # depth collapses to command nesting depth.
+        parent = _parent_fill_sorted(lens, starts, deltas, block_size)
     else:
-        # big blocks: same scatter+fill shape without the packing budget
+        lit_byte = jnp.where(is_lit, op_val_t, 0)
         d_at, lit_at, m_at = _cmd_attrs_scatter2(
             lens, starts, [(deltas, 0), (lit_byte, 0), (starts, 0)], block_size
         )
-
-    # parent pointer: literals root at themselves. For matches the chain
-    # i -> i-d -> i-2d ... inside the command is periodic, so the modular
-    # closed form m - d + ((i - m) mod d) lands strictly before the command
-    # start in ONE hop - chain depth collapses from byte-chain length
-    # (up to N for overlapping/RLE matches) to command nesting depth.
-    d_safe = jnp.maximum(d_at, 1)
-    parent = jnp.where(
-        d_at == 0, pos, m_at - d_at + ((pos - m_at) % d_safe)
-    )
-    parent = jnp.clip(parent, 0, block_size - 1)
+        d_safe = jnp.maximum(d_at, 1)
+        parent = jnp.where(d_at == 0, pos, m_at - d_at + ((pos - m_at) % d_safe))
+        parent = jnp.clip(parent, 0, block_size - 1)
 
     # pointer doubling with early exit: round k resolves chains <= 2^k
     rounds = max(1, (block_size - 1).bit_length())
@@ -159,7 +232,10 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
 
         _, parent = jax.lax.while_loop(cond2, body2, (0, parent))
 
-    out = compose(lit_at, parent).astype(jnp.uint8)
+    if use_sort:
+        out = _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size).astype(jnp.uint8)
+    else:
+        out = compose(lit_at, parent).astype(jnp.uint8)
     # zero out past-end positions
     out = jnp.where(pos < produced[:, None], out, 0)
     return out, produced
