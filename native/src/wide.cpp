@@ -391,7 +391,8 @@ extern "C" {
 int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long block_size,
                            int hist_bits, int depth_cap, int with_priors, int threads,
                            unsigned char* out, long long out_cap, long long* out_sizes,
-                           unsigned char* priors_out, int* out_depths, int* out_ncmds) {
+                           unsigned char* priors_out, int* out_depths, int* out_ncmds,
+                           long long* progress_blocks) {
   using namespace nlzm_wide;
   if (threads < 1) threads = 1;
   long long B = (n + block_size - 1) / block_size;
@@ -416,6 +417,7 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
           err.store(1);
           return;
         }
+        if (progress_blocks) __atomic_fetch_add(&progress_blocks[0], 1, __ATOMIC_RELAXED);
         int depth = 0;
         if (depth_cap > 0) {
           ll.resize((size_t)got + (size_t)got / 2 + 4096);
@@ -496,6 +498,7 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
         if (b >= B) return;
         encode_block(ops_len[b].data(), ops_val[b].data(), nullptr,
                      (i64)ops_len[b].size(), pri, payloads[b]);
+        if (progress_blocks) __atomic_fetch_add(&progress_blocks[0], 1, __ATOMIC_RELAXED);
       }
     };
     for (int t = 0; t < threads; t++) pool.emplace_back(work);

@@ -87,7 +87,7 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_wide_encode_data.restype = ctypes.c_int
     lib.nlzmx_wide_encode_data.argtypes = [
         c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, c_u8p, c_i64, c_i64p, c_u8p, c_i32p, c_i32p,
+        ctypes.c_int, c_u8p, c_i64, c_i64p, c_u8p, c_i32p, c_i32p, c_i64p,
     ]
 
     lib.nlzmx_encode_blocks.restype = ctypes.c_int
@@ -282,7 +282,7 @@ def lift_split(
 
 def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
                          depth_cap: int = 16, with_priors: bool = True,
-                         threads: int = 0):
+                         threads: int = 0, progress=None):
     """Full native wide-profile encode: parse -> lift(-split) ->
     rep-classify -> plane encode, one library call with per-thread
     scratch (staged [B, T] op arrays cost ~64 MB of first-touch page
@@ -307,12 +307,34 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
     depths = np.zeros(nblocks, np.int32)
     ncmds = np.zeros(nblocks, np.int32)
     priors = np.zeros(priors_blob_size(), np.uint8)
-    rc = lib.nlzmx_wide_encode_data(
-        _u8p(src), n, block_size, hist_bits, depth_cap,
-        1 if with_priors else 0, threads,
-        _u8p(out), out_cap, sizes.ctypes.data_as(i64p), _u8p(priors),
-        depths.ctypes.data_as(i32p), ncmds.ctypes.data_as(i32p),
-    )
+    counter = np.zeros(1, np.int64)
+    stop = None
+    if progress is not None:
+        # ctypes releases the GIL during the call; poll the C-side
+        # counter from a thread for the reference-style live status
+        import threading
+
+        stop = threading.Event()
+
+        def _poll():
+            while not stop.wait(0.25):
+                done = int(counter[0])  # parse phase + encode phase
+                progress.update(min(min(done, 2 * nblocks) * block_size // 2, progress.total))
+
+        poller = threading.Thread(target=_poll, daemon=True)
+        poller.start()
+    try:
+        rc = lib.nlzmx_wide_encode_data(
+            _u8p(src), n, block_size, hist_bits, depth_cap,
+            1 if with_priors else 0, threads,
+            _u8p(out), out_cap, sizes.ctypes.data_as(i64p), _u8p(priors),
+            depths.ctypes.data_as(i32p), ncmds.ctypes.data_as(i32p),
+            counter.ctypes.data_as(i64p),
+        )
+    finally:
+        if stop is not None:
+            stop.set()
+            poller.join()
     if rc != 0:
         raise RuntimeError(f"native wide encode failed (rc={rc})")
     payloads = []

@@ -121,7 +121,8 @@ def encode_container(
                 # (full matcher suite, adaptive costs), depth lift,
                 # rep classification, threaded plane encode
                 payloads, priors_blob, depths, ncmds = native.wide_encode_pipeline(
-                    data, block_size, hist_bits, depth_cap=depth_cap
+                    data, block_size, hist_bits, depth_cap=depth_cap,
+                    progress=progress,
                 )
             else:
                 from ..ops.encode_ops import parse_blocks_device
