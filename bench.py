@@ -129,8 +129,9 @@ def main() -> None:
     assert full.tobytes()[: info.total_len] == data, "TPU wide decode mismatch"
 
     # timed runs: force completion through a checksum value fetch
+    # (best of 5: the relay adds run-to-run jitter)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         acc = jnp.zeros((), jnp.int32)
         for staged, _ in buckets:
