@@ -20,8 +20,8 @@ Two formulations of the per-round composition p <- p o p:
   second packed sort. The prologue's command-attribute gathers collapse
   into a scatter + cummax fill.
 - 2-operand path (big blocks, up to 128 KiB): same structure with
-  (key, payload) sorts and an associative take-latest fill - no
-  position/payload bit budget, ~1.8x the per-element cost.
+  (key, payload[, aux]) multi-operand sorts and associative take-latest
+  fills - no position/payload bit budget, ~1.8x the per-element cost.
 
 Inputs are the step-aligned command arrays from fsm_decode_v2.
 """
@@ -36,54 +36,44 @@ _I32 = jnp.int32
 from .sort_gather import (
     PACK_MAX as _PACK_MAX,
     PB as _PB,
-    _fill_latest,
     gather_sorted as _gather_sorted,
     gather_sorted2 as _gather_sorted2,
 )
 
 
-def _cmd_attrs_scatter(lens, starts, val_list, block_size):
-    """Per-output-position command attributes via scatter + forward fill.
-
-    Command coverage is monotone in position, so a cummax over
-    (start << bits | value) records replaces the full-width gather - the
-    start position in the high bits makes later commands win the max.
-    val_list: [(vals [B, T], vbits)] -> list of [B, N] filled attributes.
+def _sparse_fill2(src_pos, src_valid, src_pay, src_aux, qry_key, qry_pay, post):
+    """Big-block sparse fill: (key, payload, aux) 3-operand unstable sort
+    + two-value take-latest associative fill + 2-op route-back. Full i32
+    positions/payloads (no packing budget). post(pay_f, aux_f, qpay) maps
+    each query's filled source values + its own payload to the result;
+    qry_pay must be iota (it routes the result back to position order).
     """
-    B = lens.shape[0]
-    barange = jnp.arange(B)[:, None]
-    dst = jnp.where(lens > 0, starts, block_size)
+    B, Q = qry_key.shape
+    BIG = jnp.iinfo(jnp.int32).max  # odd: never mistaken for a source key
+    k1 = jnp.concatenate(
+        [jnp.where(src_valid, src_pos * 2, BIG), qry_key * 2 + 1], axis=1
+    )
+    p1 = jnp.concatenate([src_pay, qry_pay], axis=1)
+    a1 = jnp.concatenate([src_aux, jnp.zeros_like(qry_pay)], axis=1)
+    ks, ps, as_ = jax.lax.sort((k1, p1, a1), dimension=1, num_keys=1, is_stable=False)
+    is_src = (ks & 1) == 0
 
-    out = []
-    m_at = None
-    for vals, vbits in val_list:
-        grid = jnp.full((B, block_size + 1), -1, _I32)
-        grid = grid.at[barange, dst].set((starts << vbits) | vals, mode="drop")
-        f = jax.lax.cummax(grid[:, :block_size], axis=1)
-        f = jnp.maximum(f, 0)  # positions of empty (padding) blocks read 0
-        out.append(f & ((1 << vbits) - 1))
-        if m_at is None:
-            m_at = f >> vbits  # covering command's start rides the high bits
-    out.append(m_at)
-    return out
+    def comb(x, y):
+        return (
+            x[0] | y[0],
+            jnp.where(y[0], y[1], x[1]),
+            jnp.where(y[0], y[2], x[2]),
+        )
 
-
-def _cmd_attrs_scatter2(lens, starts, val_list, block_size):
-    """Big-block (> PACK_MAX) command attributes: per-value scatter +
-    associative take-latest fill (no position/payload packing budget)."""
-    B = lens.shape[0]
-    barange = jnp.arange(B)[:, None]
-    dst = jnp.where(lens > 0, starts, block_size)
-
-    flag = jnp.zeros((B, block_size + 1), bool)
-    flag = flag.at[barange, dst].set(True, mode="drop")
-    flag = flag[:, :block_size]
-    out = []
-    for vals, _vbits in val_list:
-        grid = jnp.zeros((B, block_size + 1), _I32)
-        grid = grid.at[barange, dst].set(vals, mode="drop")
-        out.append(_fill_latest(flag, grid[:, :block_size]))
-    return out
+    _, pay_f, aux_f = jax.lax.associative_scan(
+        comb,
+        (is_src, jnp.where(is_src, ps, 0), jnp.where(is_src, as_, 0)),
+        axis=1,
+    )
+    res = post(pay_f, aux_f, ps)
+    key2 = jnp.where(~is_src & (ks != BIG), ps, BIG)
+    _, out = jax.lax.sort((key2, res), dimension=1, num_keys=1, is_stable=False)
+    return out[:, :Q]
 
 
 _U32 = jnp.uint32
@@ -187,21 +177,27 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
     use_sort = block_size <= _PACK_MAX
 
     starts = ends - lens
+    # parent pointer, scatter-free: literals root at themselves; for
+    # matches the chain i -> i-d -> ... is periodic inside the command,
+    # so the modular closed form m - d + ((i - m) mod d) lands strictly
+    # before the command start in ONE hop - chain depth collapses to
+    # command nesting depth.
     if use_sort:
-        # parent pointer, scatter-free: literals root at themselves; for
-        # matches the chain i -> i-d -> ... is periodic inside the
-        # command, so the modular closed form m - d + ((i - m) mod d)
-        # lands strictly before the command start in ONE hop - chain
-        # depth collapses to command nesting depth.
         parent = _parent_fill_sorted(lens, starts, deltas, block_size)
     else:
-        lit_byte = jnp.where(is_lit, op_val_t, 0)
-        d_at, lit_at, m_at = _cmd_attrs_scatter2(
-            lens, starts, [(deltas, 0), (lit_byte, 0), (starts, 0)], block_size
+        N = block_size
+        iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+
+        def post_parent(pay_f, aux_f, qpay):
+            d_safe = jnp.maximum(pay_f, 1)
+            par = jnp.where(
+                pay_f == 0, qpay, aux_f - pay_f + ((qpay - aux_f) % d_safe)
+            )
+            return jnp.clip(par, 0, N - 1)
+
+        parent = _sparse_fill2(
+            starts, lens > 0, deltas, starts, iota_n, iota_n, post_parent
         )
-        d_safe = jnp.maximum(d_at, 1)
-        parent = jnp.where(d_at == 0, pos, m_at - d_at + ((pos - m_at) % d_safe))
-        parent = jnp.clip(parent, 0, block_size - 1)
 
     # pointer doubling with early exit: round k resolves chains <= 2^k
     rounds = max(1, (block_size - 1).bit_length())
@@ -235,7 +231,13 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
     if use_sort:
         out = _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size).astype(jnp.uint8)
     else:
-        out = compose(lit_at, parent).astype(jnp.uint8)
+        N = block_size
+        iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+        out = _sparse_fill2(
+            starts, is_lit, jnp.where(is_lit, op_val_t, 0),
+            jnp.zeros_like(starts), parent, iota_n,
+            lambda pay_f, aux_f, qpay: pay_f,
+        ).astype(jnp.uint8)
     # zero out past-end positions
     out = jnp.where(pos < produced[:, None], out, 0)
     return out, produced

@@ -74,3 +74,46 @@ def test_lift_native_matches_python():
     assert np.array_equal(d_n, d_p)
     # the data above must actually exercise lifting
     assert not np.array_equal(ol_n, op_len) or not np.array_equal(ov_n, op_val)
+
+
+def test_gather_sorted2_matches_packed():
+    import numpy as np
+
+    from nlzm_tpu.ops.sort_gather import gather_sorted, gather_sorted2
+
+    rng = np.random.default_rng(9)
+    B, N, Q = 3, 1024, 700
+    src = jnp.asarray(rng.integers(0, 1 << 14, (B, N)), jnp.int32)
+    q = jnp.asarray(rng.integers(0, N, (B, Q)), jnp.int32)
+    a = np.asarray(gather_sorted(src, q))
+    b = np.asarray(gather_sorted2(src, q))
+    assert np.array_equal(a, b)
+
+
+def test_gather_sorted2_wide_payloads():
+    import numpy as np
+
+    from nlzm_tpu.ops.sort_gather import gather_sorted2
+
+    rng = np.random.default_rng(10)
+    B, N = 2, 70000  # width beyond PACK_MAX, payloads beyond 15 bits
+    src = jnp.asarray(rng.integers(0, 1 << 30, (B, N)), jnp.int32)
+    q = jnp.asarray(rng.integers(0, N, (B, N)), jnp.int32)
+    got = np.asarray(gather_sorted2(src, q))
+    want = np.take_along_axis(np.asarray(src), np.asarray(q), axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_compact_by_rank2_matches_packed():
+    import numpy as np
+
+    from nlzm_tpu.ops.sort_gather import compact_by_rank, compact_by_rank2
+
+    rng = np.random.default_rng(11)
+    B, K = 3, 2000
+    vals = jnp.asarray(rng.integers(0, 1 << 14, (B, K)), jnp.int32)
+    pred = jnp.asarray(rng.random((B, K)) < 0.4)
+    rank = jnp.cumsum(pred.astype(jnp.int32), axis=1) - pred.astype(jnp.int32)
+    a = np.asarray(compact_by_rank(vals, rank, pred, 900))
+    b = np.asarray(compact_by_rank2(vals, rank, pred, 900))
+    assert np.array_equal(a, b)
