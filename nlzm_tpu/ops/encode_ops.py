@@ -857,9 +857,14 @@ def encode_blocks_tpu(
     shard data-parallel over its device axis."""
     from ..constants import chunk_size_for, frame_bits_for
 
-    assert block_size <= chunk_size_for(frame_bits_for(hist_bits)), (
-        "TPU profile requires one frame per block"
-    )
+    limit = chunk_size_for(frame_bits_for(hist_bits))
+    if block_size > limit:
+        raise ValueError(
+            f"engine=tpu v1 blocks encode as one frame each: block_size "
+            f"{block_size} exceeds the frame chunk capacity {limit} at "
+            f"hist_bits {hist_bits} (use -blocks:{limit} or less, or the "
+            f"native engine)"
+        )
     n = len(data)
     nblocks = (n + block_size - 1) // block_size
     if nblocks == 0:
