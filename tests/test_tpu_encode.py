@@ -86,5 +86,5 @@ def test_tpu_encode_single_frame_cap():
     # blocks must fit one frame in the TPU profile
     from nlzm_tpu.ops.encode_ops import encode_blocks_tpu
 
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         encode_blocks_tpu(b"x" * 100000, 65536, 14)
