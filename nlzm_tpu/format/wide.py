@@ -535,10 +535,11 @@ class _PlaneDecoder:
             if ci is not None and self.chunk_offsets is not None:
                 stored = int(self.chunk_offsets[ci])
                 have = self.pos - 4 * L
-                assert stored == have, (
-                    f"chunk offset mismatch: plane {spec.name} chunk {ci}: "
-                    f"stored {stored}, cursor {have}"
-                )
+                if stored != have:
+                    raise ValueError(
+                        f"corrupt wide payload: plane {spec.name} chunk {ci} "
+                        f"offset mismatch (stored {stored}, cursor {have})"
+                    )
             active = (t * L + lane_idx) < self.n
             ys = []
             for r in range(spec.reads):

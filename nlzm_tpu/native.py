@@ -324,13 +324,19 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
         poller = threading.Thread(target=_poll, daemon=True)
         poller.start()
     try:
-        rc = lib.nlzmx_wide_encode_data(
-            _u8p(src), n, block_size, hist_bits, depth_cap,
-            1 if with_priors else 0, threads,
-            _u8p(out), out_cap, sizes.ctypes.data_as(i64p), _u8p(priors),
-            depths.ctypes.data_as(i32p), ncmds.ctypes.data_as(i32p),
-            counter.ctypes.data_as(i64p),
-        )
+        while True:
+            rc = lib.nlzmx_wide_encode_data(
+                _u8p(src), n, block_size, hist_bits, depth_cap,
+                1 if with_priors else 0, threads,
+                _u8p(out), out_cap, sizes.ctypes.data_as(i64p), _u8p(priors),
+                depths.ctypes.data_as(i32p), ncmds.ctypes.data_as(i32p),
+                counter.ctypes.data_as(i64p),
+            )
+            if rc != 1:
+                break
+            # rc==1: out_cap overflow (pathological expansion) - regrow
+            out_cap *= 2
+            out = np.empty(out_cap, np.uint8)
     finally:
         if stop is not None:
             stop.set()

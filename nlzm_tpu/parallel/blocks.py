@@ -311,6 +311,11 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
                         if l == 0:
                             blk.append(v)
                         else:
+                            if not 0 < v <= len(blk):
+                                raise IntegrityError(
+                                    f"corrupt wide stream: match distance {v} "
+                                    f"outside decoded prefix ({len(blk)} bytes)"
+                                )
                             for _ in range(l):
                                 blk.append(blk[len(blk) - v])
                     out += blk

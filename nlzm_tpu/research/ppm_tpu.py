@@ -172,7 +172,8 @@ def decompress(blob: bytes, mesh=None) -> bytes:
     import jax
     import jax.numpy as jnp
 
-    assert blob[:4] == MAGIC and blob[4] == VERSION and blob[5] == LANES
+    if blob[:4] != MAGIC or blob[4] != VERSION or blob[5] != LANES:
+        raise ValueError("not an NLZC v2 stream (bad magic/version/lanes)")
     block_size = int.from_bytes(blob[6:10], "big")
     total_len = int.from_bytes(blob[10:18], "big")
     nblocks = int.from_bytes(blob[18:22], "big")
