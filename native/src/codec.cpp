@@ -358,36 +358,80 @@ static void encode_frames_optimal(const u8* src, i64 n, int hist_bits, std::vect
   }
 }
 
+// Match-finder bundle with the reference's sizing rules; copyable so a
+// dictionary-preloaded snapshot restores per block by assignment.
+struct FinderSet {
+  HtFinder ht2, ht3;
+  BtFinder bt4;
+  RkFinder rk;
+
+  void setup(int hist_bits) {
+    auto clampi = [](int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); };
+    ht2.setup(12, 1, hist_bits);
+    ht3.setup(12 + clampi(hist_bits, 15, 17) - 15, 2, hist_bits);
+    bt4.setup(13 + clampi(hist_bits, 16, 20) - 16, hist_bits);
+    rk.setup(15 + clampi(hist_bits, 16, 22) - 16, hist_bits);
+  }
+  void shift(u32 w) {
+    ht2.shift(w);
+    ht3.shift(w);
+    bt4.shift(w);
+    rk.shift(w);
+  }
+};
+
+// Insert every dictionary position into the finder tables (probe results
+// discarded). After this, a parse starting at hist_pos = dlen finds
+// matches reaching back into the dictionary like ordinary history.
+static void preload_finders(const u8* dict, i64 dlen, int hist_bits, FinderSet& f) {
+  View d;
+  d.buf = dict;
+  d.abs_base = 0;
+  d.hist_pos = 0;
+  d.mask = (1u << hist_bits) - 1;  // window covers prefix + block
+  d.look_len = u32(dlen);
+  Candidates scratch;
+  for (i64 p = 0; p < dlen; p++) {
+    scratch.max_len = 0;
+    u32 vp = u32(p);
+    if (dlen >= 4 + p) {
+      f.ht2.probe(scratch, hash_of(read2(dict + p)), vp, d);
+      f.ht3.probe(scratch, hash_of(read3(dict + p)), vp, d);
+      f.bt4.probe(scratch, hash_of(read4(dict + p)), vp, d);
+    }
+    if (dlen >= 256 + p) f.rk.probe(scratch, vp, d);
+  }
+}
+
 // Optimal parse of one block, exporting the command list instead of frames.
 // The model still adapts through the same emit path (costs match the
 // archive encoder); the serialized frames are discarded. Commands:
 // (0, byte) literal | (len, delta) match (rep distances resolved).
-static long long parse_ops_optimal(const u8* src, i64 n, int hist_bits,
-                                   int* out_len, int* out_val, i64 cap) {
+// prefix > 0: buf carries a preset dictionary at [0, prefix) and the block
+// at [prefix, prefix+n); f must be preloaded over the dictionary and
+// distances may reach prefix bytes before the block start.
+static long long parse_ops_core(const u8* buf, i64 prefix, i64 n, int hist_bits,
+                                FinderSet& f, int* out_len, int* out_val, i64 cap) {
   const u32 window = 1u << hist_bits;
   const int frame_bits = frame_bits_for(hist_bits);
   const u32 chunk_size = chunk_size_for(frame_bits);
   const u32 chunk_feed = chunk_size + kMatchMax + 1;
-  auto clampi = [](int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); };
 
   View d;
-  d.buf = src;
+  d.buf = buf;
   d.abs_base = 0;
-  d.hist_pos = 0;
+  d.hist_pos = u32(prefix);
   d.mask = window - 1;
+
+  HtFinder& ht2 = f.ht2;
+  HtFinder& ht3 = f.ht3;
+  BtFinder& bt4 = f.bt4;
+  RkFinder& rk = f.rk;
 
   Model m;
   m.init();
   FrameSink frame;
   std::vector<u8> scratch;
-
-  HtFinder ht2, ht3;
-  BtFinder bt4;
-  RkFinder rk;
-  ht2.setup(12, 1, hist_bits);
-  ht3.setup(12 + clampi(hist_bits, 15, 17) - 15, 2, hist_bits);
-  bt4.setup(13 + clampi(hist_bits, 16, 20) - 16, hist_bits);
-  rk.setup(15 + clampi(hist_bits, 16, 22) - 16, hist_bits);
 
   auto parser = std::make_unique<Parser>();
   i64 n_ops = 0;
@@ -400,10 +444,7 @@ static long long parse_ops_optimal(const u8* src, i64 n, int hist_bits,
     if (d.hist_pos >= 2 * window) {
       d.hist_pos -= window;
       d.abs_base += window;
-      ht2.shift(window);
-      ht3.shift(window);
-      bt4.shift(window);
-      rk.shift(window);
+      f.shift(window);
     }
 
     u32 p = 0, parse_end = 0, parse_start = 0;
@@ -459,6 +500,13 @@ static long long parse_ops_optimal(const u8* src, i64 n, int hist_bits,
     chunk_start += p_end;
   }
   return n_ops;
+}
+
+static long long parse_ops_optimal(const u8* src, i64 n, int hist_bits,
+                                   int* out_len, int* out_val, i64 cap) {
+  FinderSet f;
+  f.setup(hist_bits);
+  return parse_ops_core(src, 0, n, hist_bits, f, out_len, out_val, cap);
 }
 
 // Greedy hash-4 encode (fast path; mirrors the Python greedy engine).
@@ -601,7 +649,10 @@ static i64 decode_frames(const u8* src, i64 n, int hist_bits, u8* dst, i64 cap) 
 
 // ---- op-array LZ expansion (phase 2 of the TPU pipeline) ----
 // op_len[t]==0 => literal with byte op_val[t]; else match (len, delta).
-static i64 expand_ops(const i32* op_len, const i32* op_val, i64 t_count, u8* dst, i64 cap) {
+// dict/dlen: optional shared dictionary as virtual history before byte 0
+// (distances may reach dlen bytes before the output start).
+static i64 expand_ops(const i32* op_len, const i32* op_val, i64 t_count, u8* dst, i64 cap,
+                      const u8* dict, i64 dlen) {
   i64 w = 0;
   for (i64 t = 0; t < t_count; t++) {
     i32 len = op_len[t];
@@ -610,10 +661,17 @@ static i64 expand_ops(const i32* op_len, const i32* op_val, i64 t_count, u8* dst
       dst[w++] = u8(op_val[t]);
     } else {
       i64 delta = op_val[t];
-      if (w + len > cap || delta > w || delta < 1) return -1;
-      const u8* s = dst + w - delta;
+      if (w + len > cap || delta > w + dlen || delta < 1) return -1;
       u8* o = dst + w;
-      for (i32 i = 0; i < len; i++) o[i] = s[i];
+      if (delta <= w) {
+        const u8* s = dst + w - delta;
+        for (i32 i = 0; i < len; i++) o[i] = s[i];
+      } else {
+        for (i32 i = 0; i < len; i++) {
+          i64 sp = w + i - delta;
+          o[i] = sp >= 0 ? dst[sp] : dict[dlen + sp];
+        }
+      }
       w += len;
     }
   }
@@ -660,7 +718,13 @@ long long nlzmx_decode_block(const unsigned char* src, long long n, int hist_bit
 
 long long nlzmx_expand_ops(const int* op_len, const int* op_val, long long t_count,
                            unsigned char* dst, long long cap) {
-  return expand_ops(op_len, op_val, t_count, dst, cap);
+  return expand_ops(op_len, op_val, t_count, dst, cap, nullptr, 0);
+}
+
+long long nlzmx_expand_ops_dict(const int* op_len, const int* op_val, long long t_count,
+                                unsigned char* dst, long long cap,
+                                const unsigned char* dict, long long dlen) {
+  return expand_ops(op_len, op_val, t_count, dst, cap, dict, dlen);
 }
 
 // Threaded block-parallel encode: writes per-block payloads at
@@ -794,24 +858,27 @@ void nlzmx_classify_reps(const int* op_len, const int* op_val, long long T, long
 // pointer-doubling rounds. op arrays are [T, B] row-major; threaded
 // across blocks.
 void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, int cap,
-                     int threads, int* out_depth) {
+                     int threads, int* out_depth, long long dlen) {
   if (threads < 1) threads = 1;
   std::vector<std::thread> pool;
   std::atomic<long long> next{0};
   auto work = [&]() {
-    std::vector<int> depth((size_t)N), cmd_at((size_t)N);
+    // index offset dlen: [0, dlen) = dictionary (depth 0, no command),
+    // [dlen, dlen+N) = block positions
+    std::vector<int> depth((size_t)(dlen + N)), cmd_at((size_t)(dlen + N));
     for (;;) {
       long long b = next.fetch_add(1);
       if (b >= B) return;
       std::fill(depth.begin(), depth.end(), 0);
-      std::fill(cmd_at.begin(), cmd_at.end(), 0);
+      std::fill(cmd_at.begin(), cmd_at.begin() + dlen, -1);
+      std::fill(cmd_at.begin() + dlen, cmd_at.end(), 0);
       long long pos = 0;
       int blk_depth = 0;
       for (long long k = 0; k < T; k++) {
         int l = op_len[k * B + b];
         if (l < 0) break;
         if (l == 0) {
-          if (pos < N) { depth[pos] = 0; cmd_at[pos] = (int)k; }
+          if (pos < N) { depth[dlen + pos] = 0; cmd_at[dlen + pos] = (int)k; }
           pos++;
           continue;
         }
@@ -822,25 +889,28 @@ void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, 
         // decoder's modular parents anyway.
         for (int it = 0; it < 64 && l <= d; it++) {
           long long src = pos - d;
-          if (src < 0) break;
+          if (src < -dlen) break;
           int span = l;
           int dmax = 0;
-          for (int i = 0; i < span; i++) dmax = depth[src + i] > dmax ? depth[src + i] : dmax;
+          for (int i = 0; i < span; i++)
+            dmax = depth[dlen + src + i] > dmax ? depth[dlen + src + i] : dmax;
           if (dmax + 1 <= cap) break;
-          int c0 = cmd_at[src];
-          if (cmd_at[src + span - 1] != c0 || op_len[(long long)c0 * B + b] <= 0) break;
+          int c0 = cmd_at[dlen + src];
+          if (c0 < 0 || cmd_at[dlen + src + span - 1] != c0 ||
+              op_len[(long long)c0 * B + b] <= 0)
+            break;
           long long d2 = (long long)d + op_val[(long long)c0 * B + b];
           int mmin2 = 2 + (d2 > 0xFF) + (d2 > 0xFFF) + (d2 > 0xFFFFF);
-          if (d2 > pos || l < mmin2) break;
+          if (d2 > pos + dlen || l < mmin2) break;
           d = (int)d2;
         }
         op_val[k * B + b] = d;
         long long src = pos - d;
         int span = d < l ? d : l;
         for (int i = 0; i < l && pos + i < N; i++) {
-          depth[pos + i] = depth[src + (i % span)] + 1;
-          if (depth[pos + i] > blk_depth) blk_depth = depth[pos + i];
-          cmd_at[pos + i] = (int)k;
+          depth[dlen + pos + i] = depth[dlen + src + (i % span)] + 1;
+          if (depth[dlen + pos + i] > blk_depth) blk_depth = depth[dlen + pos + i];
+          cmd_at[dlen + pos + i] = (int)k;
         }
         pos += l;
       }
@@ -856,6 +926,33 @@ void nlzmx_lift_deep(int* op_len, int* op_val, long long T, long long B, int N, 
 long long nlzmx_parse_block_ops(const unsigned char* src, long long n, int hist_bits,
                                 int* out_len, int* out_val, long long cap) {
   return parse_ops_optimal(src, n, hist_bits, out_len, out_val, cap);
+}
+
+// ---- shared-dictionary parse (container-level long-range reach) ----
+// A snapshot holds finder tables preloaded over the dictionary; each
+// block restores it by assignment (vector capacity reuse via a
+// thread-local working set) and parses with the dictionary as virtual
+// history at [0, dlen). The TPU-format analog of the reference's
+// long-range machinery (RK256 + big windows, NLZM.cpp:788-811,1033-1123)
+// restructured for parallel blocks: reach is shared, decode stays
+// embarrassingly parallel.
+void* nlzmx_dict_snapshot_new(const unsigned char* dict, long long dlen, int hist_bits) {
+  auto* f = new FinderSet();
+  f->setup(hist_bits);
+  preload_finders(dict, dlen, hist_bits, *f);
+  return f;
+}
+
+void nlzmx_dict_snapshot_free(void* snap) { delete static_cast<FinderSet*>(snap); }
+
+// buf holds [dict | block] contiguously (prefix + n bytes); ops cover the
+// block only. Distances may reach up to prefix + pos.
+long long nlzmx_parse_block_ops_pre(void* snap, const unsigned char* buf, long long prefix,
+                                    long long n, int hist_bits, int* out_len, int* out_val,
+                                    long long cap) {
+  static thread_local FinderSet fs;
+  fs = *static_cast<FinderSet*>(snap);
+  return parse_ops_core(buf, prefix, n, hist_bits, fs, out_len, out_val, cap);
 }
 
 // Block-major twin of nlzmx_classify_reps: op arrays are [B, T]
@@ -910,7 +1007,7 @@ void nlzmx_classify_reps_bm(const int* op_len, const int* op_val, long long T,
 // block overflows t_cap (caller re-runs with more headroom).
 int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size,
                      int* op_len, int* op_val, long long t_cap, long long B,
-                     int cap, int threads, int* out_depth) {
+                     int cap, int threads, int* out_depth, long long dlen) {
   if (threads < 1) threads = 1;
   if (cap < 1) cap = 1;
   std::vector<std::thread> pool;
@@ -918,7 +1015,9 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
   std::atomic<int> err{0};
 
   auto work = [&]() {
-    std::vector<int> depth((size_t)block_size), cmd_at((size_t)block_size);
+    // index offset dlen: [0, dlen) = shared dictionary (depth 0, no
+    // command - chains terminate there), [dlen, dlen+N) = block bytes
+    std::vector<int> depth((size_t)(dlen + block_size)), cmd_at((size_t)(dlen + block_size));
     std::vector<int> in_len, in_val, o_len, o_val;
     for (;;) {
       long long b = next.fetch_add(1);
@@ -936,7 +1035,8 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
       o_len.clear();
       o_val.clear();
       std::fill(depth.begin(), depth.end(), 0);
-      std::fill(cmd_at.begin(), cmd_at.end(), 0);
+      std::fill(cmd_at.begin(), cmd_at.begin() + dlen, -1);
+      std::fill(cmd_at.begin() + dlen, cmd_at.end(), 0);
 
       long long pos = 0;
       int blk_depth = 0;
@@ -945,8 +1045,8 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
         o_len.push_back(0);
         o_val.push_back(y);
         if (pos < block_size) {
-          depth[pos] = 0;
-          cmd_at[pos] = (int)o_len.size() - 1;
+          depth[dlen + pos] = 0;
+          cmd_at[dlen + pos] = (int)o_len.size() - 1;
         }
         pos++;
       };
@@ -956,10 +1056,10 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
         int span = d < l ? d : l;
         long long s = pos - d;
         for (int i = 0; i < l && pos + i < block_size; i++) {
-          int dp = depth[s + (i % span)] + 1;
-          depth[pos + i] = dp;
+          int dp = depth[dlen + s + (i % span)] + 1;
+          depth[dlen + pos + i] = dp;
           if (dp > blk_depth) blk_depth = dp;
-          cmd_at[pos + i] = (int)o_len.size() - 1;
+          cmd_at[dlen + pos + i] = (int)o_len.size() - 1;
         }
         pos += l;
       };
@@ -972,7 +1072,7 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
       std::function<void(long long, int, int)> piece =
           [&](long long d, int l, int local_cap) {
         while (l > 0) {
-          if (local_cap < 1) {
+          if (local_cap < 1 || d > pos + dlen) {
             for (int i = 0; i < l; i++) emit_lit(blk[pos]);
             return;
           }
@@ -980,7 +1080,8 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
             // overlap: all copied bytes sit at depth(period)+1
             long long s = pos - d;
             int pmax = 0;
-            for (long long j = s; j < pos; j++) pmax = depth[j] > pmax ? depth[j] : pmax;
+            for (long long j = s; j < pos; j++)
+              pmax = depth[dlen + j] > pmax ? depth[dlen + j] : pmax;
             if (pmax + 1 <= local_cap) {
               emit_match((int)d, l);
               return;
@@ -995,23 +1096,24 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
           for (int it = 0; it < 64; it++) {
             long long s = pos - d;
             int dmax = 0;
-            for (int i = 0; i < l; i++) dmax = depth[s + i] > dmax ? depth[s + i] : dmax;
+            for (int i = 0; i < l; i++)
+              dmax = depth[dlen + s + i] > dmax ? depth[dlen + s + i] : dmax;
             if (dmax + 1 <= local_cap && l >= mmin_of(d)) {
               emit_match((int)d, l);
               return;
             }
-            int c0 = cmd_at[s];
-            if (cmd_at[s + l - 1] != c0) {
+            int c0 = cmd_at[dlen + s];
+            if (cmd_at[dlen + s + l - 1] != c0) {
               // split at the first source-command boundary; tail loops
               int l1 = 1;
-              while (l1 < l && cmd_at[s + l1] == c0) l1++;
+              while (l1 < l && cmd_at[dlen + s + l1] == c0) l1++;
               piece(d, l1, local_cap);
               l -= l1;
               split_tail = true;
               break;
             }
             long long d2 = (c0 >= 0 && o_len[c0] > 0) ? d + o_val[c0] : 0;
-            if (d2 <= 0 || d2 > pos || l < mmin_of(d2)) {
+            if (d2 <= 0 || d2 > pos + dlen || l < mmin_of(d2)) {
               for (int i = 0; i < l; i++) emit_lit(blk[pos]);
               return;
             }
@@ -1057,13 +1159,14 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
 int nlzmx_lift_split_one(const unsigned char* blk, long long blk_len,
                          long long block_size, const int* in_len, const int* in_val,
                          long long T_in, int cap, int* out_len, int* out_val,
-                         long long out_cap, long long* out_T, int* out_depth) {
+                         long long out_cap, long long* out_T, int* out_depth,
+                         long long dlen) {
   if (T_in > out_cap) return 1;
   std::memcpy(out_len, in_len, (size_t)T_in * sizeof(int));
   std::memcpy(out_val, in_val, (size_t)T_in * sizeof(int));
   for (long long k = T_in; k < out_cap; k++) out_len[k] = -1;
   int rc = nlzmx_lift_split(blk, blk_len, block_size, out_len, out_val, out_cap, 1,
-                            cap, 1, out_depth);
+                            cap, 1, out_depth, dlen);
   if (rc) return 1;
   long long t = 0;
   while (t < out_cap && out_len[t] >= 0) t++;

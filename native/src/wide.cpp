@@ -378,7 +378,13 @@ extern "C" int nlzmx_lift_split_one(const unsigned char* blk, long long blk_len,
                                     long long block_size, const int* in_len,
                                     const int* in_val, long long T_in, int cap,
                                     int* out_len, int* out_val, long long out_cap,
-                                    long long* out_T, int* out_depth);
+                                    long long* out_T, int* out_depth, long long dlen);
+extern "C" void* nlzmx_dict_snapshot_new(const unsigned char* dict, long long dlen,
+                                         int hist_bits);
+extern "C" void nlzmx_dict_snapshot_free(void* snap);
+extern "C" long long nlzmx_parse_block_ops_pre(void* snap, const unsigned char* buf,
+                                               long long prefix, long long n, int hist_bits,
+                                               int* out_len, int* out_val, long long cap);
 
 extern "C" {
 
@@ -392,10 +398,16 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
                            int hist_bits, int depth_cap, int with_priors, int threads,
                            unsigned char* out, long long out_cap, long long* out_sizes,
                            unsigned char* priors_out, int* out_depths, int* out_ncmds,
-                           long long* progress_blocks) {
+                           long long* progress_blocks, const unsigned char* dict,
+                           long long dlen) {
   using namespace nlzm_wide;
   if (threads < 1) threads = 1;
   long long B = (n + block_size - 1) / block_size;
+  if (!dict) dlen = 0;
+
+  // shared-dictionary snapshot: finder tables preloaded once, restored
+  // per block (blocks stay independent; reach extends dlen bytes back)
+  void* snap = dlen > 0 ? nlzmx_dict_snapshot_new(dict, dlen, hist_bits) : nullptr;
 
   // phase 0: parse + lift every block into packed per-block op vectors
   std::vector<std::vector<i32>> ops_len((size_t)B), ops_val((size_t)B);
@@ -406,13 +418,25 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
     auto work = [&]() {
       std::vector<i32> pl((size_t)block_size + 8), pv((size_t)block_size + 8);
       std::vector<i32> ll, lv_;
+      std::vector<u8> pre;
+      if (dlen > 0) {
+        pre.resize((size_t)(dlen + block_size));
+        std::memcpy(pre.data(), dict, (size_t)dlen);
+      }
       for (;;) {
         long long b = next.fetch_add(1);
         if (b >= B) return;
         long long off = b * block_size;
         long long len = n - off < block_size ? n - off : block_size;
-        long long got = nlzmx_parse_block_ops(src + off, len, hist_bits, pl.data(),
-                                              pv.data(), (long long)pl.size());
+        long long got;
+        if (dlen > 0) {
+          std::memcpy(pre.data() + dlen, src + off, (size_t)len);
+          got = nlzmx_parse_block_ops_pre(snap, pre.data(), dlen, len, hist_bits,
+                                          pl.data(), pv.data(), (long long)pl.size());
+        } else {
+          got = nlzmx_parse_block_ops(src + off, len, hist_bits, pl.data(),
+                                      pv.data(), (long long)pl.size());
+        }
         if (got < 0) {
           err.store(1);
           return;
@@ -426,7 +450,7 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
           for (;;) {
             int rc = nlzmx_lift_split_one(src + off, len, block_size, pl.data(), pv.data(),
                                           got, depth_cap, ll.data(), lv_.data(),
-                                          (long long)ll.size(), &T_out, &depth);
+                                          (long long)ll.size(), &T_out, &depth, dlen);
             if (rc == 0) break;
             ll.resize(ll.size() * 2);
             lv_.resize(ll.size());
@@ -445,6 +469,7 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
     };
     for (int t = 0; t < threads; t++) pool.emplace_back(work);
     for (auto& t : pool) t.join();
+    if (snap) nlzmx_dict_snapshot_free(snap);
     if (err.load()) return 2;
   }
 

@@ -56,6 +56,9 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_expand_ops.restype = c_i64
     lib.nlzmx_expand_ops.argtypes = [c_i32p, c_i32p, c_i64, c_u8p, c_i64]
 
+    lib.nlzmx_expand_ops_dict.restype = c_i64
+    lib.nlzmx_expand_ops_dict.argtypes = [c_i32p, c_i32p, c_i64, c_u8p, c_i64, c_u8p, c_i64]
+
     lib.nlzmx_parse_blocks.restype = ctypes.c_int
     lib.nlzmx_parse_blocks.argtypes = [
         c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, c_i32p, c_i32p, c_i64,
@@ -70,12 +73,13 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_lift_deep.restype = None
     lib.nlzmx_lift_deep.argtypes = [
         c_i32p, c_i32p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
+        c_i64,
     ]
 
     lib.nlzmx_lift_split.restype = ctypes.c_int
     lib.nlzmx_lift_split.argtypes = [
         c_u8p, c_i64, c_i64, c_i32p, c_i32p, c_i64, c_i64,
-        ctypes.c_int, ctypes.c_int, c_i32p,
+        ctypes.c_int, ctypes.c_int, c_i32p, c_i64,
     ]
 
     lib.nlzmx_wide_encode.restype = ctypes.c_int
@@ -88,6 +92,7 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_wide_encode_data.argtypes = [
         c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, c_u8p, c_i64, c_i64p, c_u8p, c_i32p, c_i32p, c_i64p,
+        c_u8p, c_i64,
     ]
 
     lib.nlzmx_encode_blocks.restype = ctypes.c_int
@@ -153,19 +158,28 @@ def decode_block(payload: bytes, hist_bits: int, out_cap: int) -> bytes:
     return dst[:got].tobytes()
 
 
-def expand_ops(op_len: np.ndarray, op_val: np.ndarray, out_cap: int) -> bytes:
-    """Expand one block's op arrays (int32, aligned) into bytes."""
+def expand_ops(op_len: np.ndarray, op_val: np.ndarray, out_cap: int,
+               dictionary: bytes | None = None) -> bytes:
+    """Expand one block's op arrays (int32, aligned) into bytes.
+
+    dictionary: optional shared-dict bytes as virtual history before the
+    output start (distances may reach len(dictionary) bytes back)."""
     lib = load()
     op_len = np.ascontiguousarray(op_len, dtype=np.int32)
     op_val = np.ascontiguousarray(op_val, dtype=np.int32)
     dst = np.empty(max(out_cap, 1), dtype=np.uint8)
-    got = lib.nlzmx_expand_ops(
-        op_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        op_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        len(op_len),
-        _u8p(dst),
-        out_cap,
-    )
+    i32p = ctypes.POINTER(ctypes.c_int)
+    if dictionary:
+        darr = np.frombuffer(dictionary, dtype=np.uint8)
+        got = lib.nlzmx_expand_ops_dict(
+            op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p),
+            len(op_len), _u8p(dst), out_cap, _u8p(darr), len(darr),
+        )
+    else:
+        got = lib.nlzmx_expand_ops(
+            op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p),
+            len(op_len), _u8p(dst), out_cap,
+        )
     if got < 0:
         raise RuntimeError("native expand failed")
     return dst[:got].tobytes()
@@ -221,11 +235,14 @@ def decode_blocks(payloads: list, hist_bits: int, block_size: int, total_len: in
     return dst.tobytes()[:total_len]
 
 
-def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int = 15, threads: int = 0) -> np.ndarray:
+def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int = 15,
+              threads: int = 0, dict_len: int = 0) -> np.ndarray:
     """Bound literal-ancestor depth in [T, B] command arrays (in place).
 
-    Returns the per-block max chain depth (the decoder's exact
-    pointer-doubling round budget is ceil(log2(depth)))."""
+    dict_len > 0: a shared dictionary of that many bytes precedes every
+    block as depth-0 virtual history. Returns the per-block max chain
+    depth (the decoder's exact pointer-doubling round budget is
+    ceil(log2(depth)))."""
     assert op_len.dtype == np.int32 and op_val.dtype == np.int32
     assert op_len.flags.c_contiguous and op_val.flags.c_contiguous
     T, B = op_len.shape
@@ -235,14 +252,14 @@ def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int 
     depths = np.zeros(B, np.int32)
     load().nlzmx_lift_deep(
         op_len.ctypes.data_as(i32p), op_val.ctypes.data_as(i32p),
-        T, B, block_size, cap, threads, depths.ctypes.data_as(i32p),
+        T, B, block_size, cap, threads, depths.ctypes.data_as(i32p), dict_len,
     )
     return depths
 
 
 def lift_split(
     data: bytes, op_len: np.ndarray, op_val: np.ndarray, block_size: int,
-    cap: int = 4, threads: int = 0,
+    cap: int = 4, threads: int = 0, dict_len: int = 0,
 ):
     """Hard-cap literal-ancestor depth by lifting AND splitting matches.
 
@@ -267,7 +284,7 @@ def lift_split(
         rc = load().nlzmx_lift_split(
             _u8p(src), len(data), block_size,
             ol.ctypes.data_as(i32p), ov.ctypes.data_as(i32p), t_cap, B,
-            cap, threads, depths.ctypes.data_as(i32p),
+            cap, threads, depths.ctypes.data_as(i32p), dict_len,
         )
         if rc == 0:
             # live rows are a prefix of each block's row
@@ -282,7 +299,8 @@ def lift_split(
 
 def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
                          depth_cap: int = 16, with_priors: bool = True,
-                         threads: int = 0, progress=None):
+                         threads: int = 0, progress=None,
+                         dictionary: bytes | None = None):
     """Full native wide-profile encode: parse -> lift(-split) ->
     rep-classify -> plane encode, one library call with per-thread
     scratch (staged [B, T] op arrays cost ~64 MB of first-touch page
@@ -323,6 +341,7 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
 
         poller = threading.Thread(target=_poll, daemon=True)
         poller.start()
+    darr = np.frombuffer(dictionary, dtype=np.uint8) if dictionary else None
     try:
         while True:
             rc = lib.nlzmx_wide_encode_data(
@@ -331,6 +350,8 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
                 _u8p(out), out_cap, sizes.ctypes.data_as(i64p), _u8p(priors),
                 depths.ctypes.data_as(i32p), ncmds.ctypes.data_as(i32p),
                 counter.ctypes.data_as(i64p),
+                _u8p(darr) if darr is not None else None,
+                len(darr) if darr is not None else 0,
             )
             if rc != 1:
                 break

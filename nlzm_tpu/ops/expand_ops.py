@@ -38,6 +38,7 @@ from .sort_gather import (
     PB as _PB,
     gather_sorted as _gather_sorted,
     gather_sorted2 as _gather_sorted2,
+    gather_sorted16 as _gather_sorted16,
 )
 
 
@@ -80,35 +81,41 @@ _U32 = jnp.uint32
 _PADKEY = jnp.uint32(0xFFFFFFFF)  # inert record: sorts last, never a query
 
 
-def _sparse_fill(src_pos, src_valid, src_pay, qry_key, qry_pay, post):
+def _sparse_fill(src_pos, src_valid, src_pay, qry_key, qry_pay, post, pay_bits=_PB):
     """Merged sort + cummax fill with SPARSE sources (u32 keys).
 
-    Sources key (pos<<1)<<PB | pay; queries ((key<<1)|1)<<PB | pay.
-    Invalid sources become _PADKEY (sort last, fill nothing, excluded
-    from the route-back). `post(filled, qpay)` maps each query's filled
-    source word + its own payload to a 15-bit result, which one
-    route-back sort returns in qry-payload order (payloads must be a
-    permutation of 0..Q-1, i.e. iota). Replaces full-width scatter+
-    cummax grids: sorts run ~2x faster than scatters here.
+    Sources key (pos<<1)<<pay_bits | pay; queries ((key<<1)|1)<<pay_bits
+    | pay. Invalid sources become _PADKEY (sort last, fill nothing,
+    excluded from the route-back). `post(filled, qpay)` maps each query's
+    filled source word + its own payload to a pay_bits-wide result, which
+    one route-back sort returns in qry-payload order (payloads must be a
+    permutation of 0..Q-1, i.e. iota). Replaces full-width scatter+cummax
+    grids: sorts run ~2x faster than scatters here.
+
+    pay_bits=15 (default): positions and payloads both 15-bit.
+    pay_bits=16: payloads/results up to 16-bit (positions still 15-bit,
+    query payloads <= 15-bit) - the dict-shifted parent space [0, D+N)
+    with D + N <= 65536 rides this packing in the same u32 sorts.
     """
     B, Q = qry_key.shape
+    pmask = jnp.uint32((1 << pay_bits) - 1)
     src_e = jnp.where(
         src_valid,
-        ((src_pos.astype(_U32) << 1) << _PB) | src_pay.astype(_U32),
+        ((src_pos.astype(_U32) << 1) << pay_bits) | src_pay.astype(_U32),
         _PADKEY,
     )
-    qry_e = (((qry_key.astype(_U32) << 1) | 1) << _PB) | qry_pay.astype(_U32)
+    qry_e = (((qry_key.astype(_U32) << 1) | 1) << pay_bits) | qry_pay.astype(_U32)
     s = jax.lax.sort(jnp.concatenate([src_e, qry_e], axis=1), dimension=1, is_stable=False)
-    is_q = ((s >> _PB) & 1).astype(jnp.bool_) & (s != _PADKEY)
+    is_q = ((s >> pay_bits) & 1).astype(jnp.bool_) & (s != _PADKEY)
     filled = jax.lax.cummax(jnp.where(is_q | (s == _PADKEY), jnp.uint32(0), s), axis=1)
-    res = post(filled, (s & (_PACK_MAX - 1)).astype(_I32))  # 15-bit result
+    res = post(filled, (s & pmask).astype(_I32))
     key2 = jnp.where(
         is_q,
-        ((s & (_PACK_MAX - 1)) << _PB) | res.astype(_U32),
+        ((s & pmask) << pay_bits) | res.astype(_U32),
         _PADKEY,
     )
     s2 = jax.lax.sort(key2, dimension=1, is_stable=False)
-    return (s2[:, :Q] & (_PACK_MAX - 1)).astype(_I32)
+    return (s2[:, :Q] & pmask).astype(_I32)
 
 
 def _parent_fill_sorted(lens, starts, deltas, block_size):
@@ -134,6 +141,28 @@ def _parent_fill_sorted(lens, starts, deltas, block_size):
     return _sparse_fill(starts, lens > 0, deltas, iota_n, iota_n, post)
 
 
+def _parent_fill_sorted_dict(lens, starts, deltas, block_size, dict_len):
+    """Parent construction in dict-SHIFTED coordinates (16-bit payloads).
+
+    The container dictionary logically occupies positions [0, D) and the
+    block [D, D+N); parents landing in the dict region are terminal
+    (dictionary bytes are known literals). Deltas may reach D + pos, so
+    payloads use the 16-bit packing (requires D + N <= 65536, N <= 32768).
+    """
+    B, T = lens.shape
+    N, D = block_size, dict_len
+    iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+
+    def post(filled, qpay):
+        m_at = (filled >> 17).astype(_I32)
+        d_at = (filled & 0xFFFF).astype(_I32)
+        d_safe = jnp.maximum(d_at, 1)
+        par = jnp.where(d_at == 0, qpay, m_at - d_at + ((qpay - m_at) % d_safe))
+        return jnp.clip(par + D, 0, D + N - 1)
+
+    return _sparse_fill(starts, lens > 0, deltas, iota_n, iota_n, post, pay_bits=16)
+
+
 def _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size):
     """Packed-path final byte resolution with SPARSE sources.
 
@@ -153,13 +182,48 @@ def _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size):
     )
 
 
+def _byte_fill_dict(is_lit, starts, op_val_t, parent, block_size, dict_arr):
+    """Final byte resolution in dict-shifted coordinates.
+
+    Parents < D resolved from the container dictionary (fill B), parents
+    >= D from the block's literal commands (fill A, today's packed fill
+    in block-local coordinates). Two fills instead of one widened fill
+    keep every key/payload inside the 15-bit packing budget.
+    """
+    B, N = parent.shape
+    D = dict_arr.shape[0]
+    iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
+
+    def post_byte(filled, qpay):
+        return (filled & jnp.uint32(0xFF)).astype(_I32)
+
+    in_dict = parent < D
+    out_a = _sparse_fill(
+        starts, is_lit, jnp.where(is_lit, op_val_t, 0),
+        jnp.clip(parent - D, 0, N - 1), iota_n, post_byte,
+    )
+    dict_pos = jnp.broadcast_to(jnp.arange(D, dtype=_I32), (B, D))
+    dict_pay = jnp.broadcast_to(dict_arr.astype(_I32), (B, D))
+    out_b = _sparse_fill(
+        dict_pos, jnp.ones((B, D), bool), dict_pay,
+        jnp.clip(parent, 0, D - 1), iota_n, post_byte,
+    )
+    return jnp.where(in_dict, out_b, out_a)
+
+
 @partial(jax.jit, static_argnames=("block_size",))
-def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, rounds_hint=None):
+def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int,
+                       rounds_hint=None, dict_arr=None):
     """op_len/op_val: [T, B] (op_len<0 past end, 0 literal, else match len).
 
     rounds_hint: optional scalar = exact doubling rounds needed
     (ceil(log2(max chain depth)), known to the encoder and carried in the
     container). Without it the loop runs until a no-change round.
+
+    dict_arr: optional [D] uint8 container-level shared dictionary; match
+    distances may then reach D bytes before the block start (delta up to
+    pos + D). Parents run in shifted coordinates [0, D+N): [0, D) =
+    dictionary (terminal literals), [D, D+N) = block positions.
 
     Returns (out [B, block_size] uint8, produced [B]).
     """
@@ -174,18 +238,23 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
     produced = ends[:, -1]
     pos = jnp.arange(block_size, dtype=_I32)[None, :]  # [1, N]
 
-    use_sort = block_size <= _PACK_MAX
+    D = 0 if dict_arr is None else dict_arr.shape[0]
+    N = block_size
+    use_sort = block_size <= _PACK_MAX and D + N <= (1 << 16)
 
     starts = ends - lens
     # parent pointer, scatter-free: literals root at themselves; for
     # matches the chain i -> i-d -> ... is periodic inside the command,
     # so the modular closed form m - d + ((i - m) mod d) lands strictly
     # before the command start in ONE hop - chain depth collapses to
-    # command nesting depth.
+    # command nesting depth. With a dictionary, parents run shifted by D
+    # and dict-region parents are terminal.
     if use_sort:
-        parent = _parent_fill_sorted(lens, starts, deltas, block_size)
+        if D:
+            parent = _parent_fill_sorted_dict(lens, starts, deltas, N, D)
+        else:
+            parent = _parent_fill_sorted(lens, starts, deltas, block_size)
     else:
-        N = block_size
         iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
 
         def post_parent(pay_f, aux_f, qpay):
@@ -193,7 +262,7 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
             par = jnp.where(
                 pay_f == 0, qpay, aux_f - pay_f + ((qpay - aux_f) % d_safe)
             )
-            return jnp.clip(par, 0, N - 1)
+            return jnp.clip(par + D, 0, D + N - 1)
 
         parent = _sparse_fill2(
             starts, lens > 0, deltas, starts, iota_n, iota_n, post_parent
@@ -201,7 +270,15 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
 
     # pointer doubling with early exit: round k resolves chains <= 2^k
     rounds = max(1, (block_size - 1).bit_length())
-    compose = _gather_sorted if use_sort else _gather_sorted2
+    if D == 0:
+        compose = _gather_sorted if use_sort else _gather_sorted2
+    else:
+        # dict parents (< D) are terminal: compose only in-block hops
+        base_g = _gather_sorted16 if use_sort else _gather_sorted2
+
+        def compose(p, _p=None):
+            g = base_g(p, jnp.clip(p - D, 0, N - 1))
+            return jnp.where(p >= D, g, p)
 
     if rounds_hint is None:
 
@@ -229,15 +306,27 @@ def lz_expand_parallel(op_len: jax.Array, op_val: jax.Array, block_size: int, ro
         _, parent = jax.lax.while_loop(cond2, body2, (0, parent))
 
     if use_sort:
-        out = _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size).astype(jnp.uint8)
+        if D:
+            out = _byte_fill_dict(is_lit, starts, op_val_t, parent, N, dict_arr).astype(jnp.uint8)
+        else:
+            out = _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size).astype(jnp.uint8)
     else:
-        N = block_size
         iota_n = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
-        out = _sparse_fill2(
+        out_a = _sparse_fill2(
             starts, is_lit, jnp.where(is_lit, op_val_t, 0),
-            jnp.zeros_like(starts), parent, iota_n,
-            lambda pay_f, aux_f, qpay: pay_f,
-        ).astype(jnp.uint8)
+            jnp.zeros_like(starts), jnp.clip(parent - D, 0, N - 1) if D else parent,
+            iota_n, lambda pay_f, aux_f, qpay: pay_f,
+        )
+        if D:
+            dict_pos = jnp.broadcast_to(jnp.arange(D, dtype=_I32), (B, D))
+            dict_pay = jnp.broadcast_to(dict_arr.astype(_I32), (B, D))
+            out_b = _sparse_fill2(
+                dict_pos, jnp.ones((B, D), bool), dict_pay,
+                jnp.zeros_like(dict_pos), jnp.clip(parent, 0, D - 1), iota_n,
+                lambda pay_f, aux_f, qpay: pay_f,
+            )
+            out_a = jnp.where(parent < D, out_b, out_a)
+        out = out_a.astype(jnp.uint8)
     # zero out past-end positions
     out = jnp.where(pos < produced[:, None], out, 0)
     return out, produced

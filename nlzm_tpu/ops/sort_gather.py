@@ -126,6 +126,24 @@ def compact_by_rank2(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_widt
     return jnp.where(valid, out, 0)
 
 
+def compact_by_rank16(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_width: int) -> jax.Array:
+    """compact_by_rank with 16-bit payloads via u32 keys.
+
+    vals may use 16 bits (ranks still capped at PB bits). Used for
+    dict-reaching distances (delta < 2^16) in the wide assembly.
+    """
+    B, K = vals.shape
+    assert K <= PACK_MAX and out_width <= PACK_MAX
+    u32 = jnp.uint32
+    key = jnp.where(pred, rank, PACK_MAX).astype(u32) << 16
+    s = jax.lax.sort(key | vals.astype(u32), dimension=1, is_stable=False)
+    out = (s[:, :out_width] & jnp.asarray(0xFFFF, u32)).astype(_I32)
+    valid = jnp.arange(out_width, dtype=_I32)[None, :] < jnp.sum(
+        pred.astype(_I32), axis=1, keepdims=True
+    )
+    return jnp.where(valid, out, 0)
+
+
 def compact_by_rank(vals: jax.Array, rank: jax.Array, pred: jax.Array, out_width: int) -> jax.Array:
     """out[b, rank[b, k]] = vals[b, k] for pred; one packed sort.
 

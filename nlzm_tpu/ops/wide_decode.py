@@ -31,6 +31,7 @@ from .sort_gather import (
     PACK_MAX,
     compact_by_rank,
     compact_by_rank2,
+    compact_by_rank16,
     gather_sorted,
     gather_sorted2,
     gather_sorted16,
@@ -293,25 +294,33 @@ def _bits_fetch(bit_half, offs, width, big=False):
     return jnp.where(width > 0, v.astype(_I32), 0)
 
 
-@partial(jax.jit, static_argnames=("big",))
+@partial(jax.jit, static_argnames=("big", "wide_delta"))
 def assemble_post_dst(
     is_lit, is_rep, is_dict, lv, m_rank, d_rank,
     lit_hi, lit_lo, dst_hi, dst_lo, bit_half, n_cmds, big=False,
+    wide_delta=False,
 ):
     """Stage B: distances, rep resolution, literals, raw bits ->
-    (op_len [Tc, B], op_val [Tc, B]) for lz_expand_parallel."""
+    (op_len [Tc, B], op_val [Tc, B]) for lz_expand_parallel.
+
+    wide_delta: deltas may use 16 bits (shared dictionary reach); the
+    delta compact/gather pair switches to the 16-bit-payload packings."""
     G = gather_sorted2 if big else gather_sorted
     C = compact_by_rank2 if big else compact_by_rank
+    # delta values (only) can exceed the 15-bit payload with a dictionary
+    Gd = gather_sorted2 if big else (gather_sorted16 if wide_delta else gather_sorted)
+    Cd = compact_by_rank2 if big else (compact_by_rank16 if wide_delta else compact_by_rank)
     B, Tc = is_lit.shape
     active = is_lit | is_rep | is_dict
 
     slot_d = (dst_hi << 3) | dst_lo  # dict-aligned
     slot = jnp.where(is_dict, G(slot_d, d_rank), 0)
     is_big_slot = slot >= 4
-    # clamp to the format maximum (128 KiB blocks -> dv < 2^17 -> ab <= 15)
-    # so corrupted payloads degrade to a CRC failure instead of overflowing
+    # clamp to the format maximum (128 KiB blocks + 64 KiB dict ->
+    # dv < 2^18 -> ab <= 16, still within _bits_fetch's 16-bit fields) so
+    # corrupted payloads degrade to a CRC failure instead of overflowing
     # the shifted intermediates below
-    ab = jnp.clip(jnp.where(is_dict & is_big_slot, (slot >> 1) - 1, 0), 0, 15)
+    ab = jnp.clip(jnp.where(is_dict & is_big_slot, (slot >> 1) - 1, 0), 0, 16)
 
     widths = jnp.where(is_rep, 2, 0) + ab
     offs = jnp.cumsum(widths, axis=1) - widths
@@ -324,9 +333,9 @@ def assemble_post_dst(
 
     # rep resolution: r-th most recent dict distance (virtual history
     # 1,2,3,4 before the first dict command)
-    D = C(delta_dict, d_rank, is_dict, Tc)
+    D = Cd(delta_dict, d_rank, is_dict, Tc)
     j = d_rank - 1 - rep_idx
-    delta_rep = jnp.where(j >= 0, G(D, jnp.maximum(j, 0)), -j)
+    delta_rep = jnp.where(j >= 0, Gd(D, jnp.maximum(j, 0)), -j)
     delta = jnp.where(is_rep, delta_rep, delta_dict)
 
     lit_rank = jnp.cumsum(is_lit.astype(_I32), axis=1) - is_lit.astype(_I32)
@@ -459,6 +468,7 @@ def decode_wide_staged(staged, block_size: int):
     from .expand_ops import lz_expand_parallel
 
     rounds_hint = staged.get("rounds_hint")
+    dict_arr = staged.get("dict_arr")  # [D] u8 shared dictionary or None
 
     B = staged["B"]
     n_sym, steps = staged["n_sym"], staged["steps"]
@@ -492,8 +502,9 @@ def decode_wide_staged(staged, block_size: int):
     op_len, op_val = assemble_post_dst(
         is_lit, is_rep, is_dict, lv, m_rank, d_rank,
         lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_half"], n_sym[0], big,
+        wide_delta=dict_arr is not None,
     )
-    return lz_expand_parallel(op_len, op_val, block_size, rounds_hint)
+    return lz_expand_parallel(op_len, op_val, block_size, rounds_hint, dict_arr)
 
 
 def prepare_wide_bucketed(payloads, priors_blob: bytes | None = None, n_buckets: int = 2):
@@ -523,6 +534,7 @@ def prepare_wide_bucketed(payloads, priors_blob: bytes | None = None, n_buckets:
 def decode_wide_blocks(
     payloads, block_size: int, total_len: int,
     priors_blob: bytes | None = None, max_depth: int = 0,
+    dictionary: bytes | None = None,
 ) -> bytes:
     """Decode wide-profile block payloads (host orchestration).
 
@@ -530,11 +542,17 @@ def decode_wide_blocks(
     expander run its exact round budget instead of detecting convergence.
     Blocks run in command-count buckets (prepare_wide_bucketed) so one
     command-dense block does not size every block's scan/sort widths.
+    dictionary: container-level shared dictionary (virtual history before
+    every block; the expander resolves dict-region ancestors from it).
     """
     buckets = prepare_wide_bucketed(payloads, priors_blob)
+    dict_arr = (
+        jnp.asarray(np.frombuffer(dictionary, np.uint8)) if dictionary else None
+    )
     full = np.empty(len(payloads) * block_size, np.uint8)
     for staged, idx in buckets:
         staged["rounds_hint"] = rounds_hint_of(max_depth)
+        staged["dict_arr"] = dict_arr
         out, produced = decode_wide_staged(staged, block_size)
         out_np = np.asarray(out)
         for row, b in enumerate(idx):

@@ -45,9 +45,58 @@ _BLK = struct.Struct(">III")
 FLAG_CRC32 = 0x01  # u32be CRC of the uncompressed data follows the header
 FLAG_WIDE = 0x02  # blocks use the wide profile (format/wide.py)
 FLAG_PRIORS = 0x04  # container-level wide warm-start priors blob follows
+FLAG_DICT = 0x08  # shared dictionary follows (u32 raw len, u32 comp len, v1 frames)
 
 DEFAULT_BLOCK_SIZE = 1 << 17  # 128 KB: 5 frames/block at hist_bits 17
 WIDE_MAX_BLOCK = 131072  # 2-op sort path above 32 KiB; i32 position budget
+DEFAULT_DICT_SIZE = 32768  # keeps 32 KiB blocks on the packed-sort path (D+N <= 64K)
+
+
+def sample_dict(data: bytes, dict_size: int, segment: int = 2048) -> bytes:
+    """Deterministic shared-dictionary sampling: evenly spaced segments.
+
+    The container dictionary is the parallel profiles' long-range reach
+    (the role RK256 + big windows play in the single-stream reference,
+    NLZM.cpp:788-811, 1033-1123): every block's window starts preloaded
+    with it, so cross-block redundancy - vocabulary, boilerplate, headers
+    - is reachable without coupling blocks to each other. Evenly spaced
+    segments cover the whole input's vocabulary; segments keep their
+    original order so runs spanning segment joins stay meaningful.
+    """
+    if dict_size <= 0 or len(data) <= dict_size:
+        return b""
+    nseg = max(1, dict_size // segment)
+    stride = len(data) / nseg
+    parts = []
+    for i in range(nseg):
+        off = int(i * stride)
+        parts.append(data[off : off + segment])
+    return b"".join(parts)[:dict_size]
+
+
+def _compress_dict(dictionary: bytes) -> bytes:
+    from .. import native
+
+    hb = hist_bits_for_block(len(dictionary))
+    if native.available():
+        payload, _, _ = native.encode_block(dictionary, hb, "optimal")
+    else:
+        enc = SerialEncoder(hb, parser="greedy")
+        payload = enc.encode_frames(dictionary)
+    return payload
+
+
+def _decompress_dict(payload: bytes, raw_len: int) -> bytes:
+    from .. import native
+
+    hb = hist_bits_for_block(raw_len)
+    if native.available():
+        return native.decode_block(payload, hb, raw_len)
+    from ..codec import decode_bytes
+    from ..format.frame import SENTINEL_FRAME
+
+    header = hb.to_bytes(2, "big") + frame_bits_for(hb).to_bytes(2, "big")
+    return decode_bytes(header + payload + SENTINEL_FRAME)
 
 
 @dataclass
@@ -63,6 +112,7 @@ class ContainerInfo:
     crc32: int | None = None
     wide: bool = False
     wide_priors: bytes | None = None
+    dictionary: bytes | None = None
 
 
 def hist_bits_for_block(block_size: int) -> int:
@@ -77,6 +127,7 @@ def encode_container(
     engine: str = "auto",
     profile: str = "v1",
     depth_cap: int = 16,
+    dict_size: int = 0,
     progress=None,
 ) -> bytes:
     """Block encode. engine: auto (native if built) | native | serial | tpu.
@@ -92,8 +143,17 @@ def encode_container(
     profile="wide" encodes blocks in the lane-parallel wide profile
     (format/wide.py): device parse + host plane packing; decodes with the
     batched wide device decoder.
+
+    dict_size > 0 samples a shared dictionary (sample_dict) stored once
+    in the container; every wide block's window starts preloaded with it,
+    giving the parallel profile long-range reach without coupling blocks.
+    Keep dict_size + block_size <= 65536 to stay on the decoder's
+    packed-sort path. Requires the native engine and parser="optimal".
     """
-    hist_bits = hist_bits_for_block(block_size)
+    dictionary = b""
+    if dict_size and profile == "wide":
+        dictionary = sample_dict(data, dict_size)
+    hist_bits = hist_bits_for_block(len(dictionary) + block_size)
     num_blocks = (len(data) + block_size - 1) // block_size if data else 0
 
     use_native = engine == "native"
@@ -115,6 +175,13 @@ def encode_container(
         from .. import native
         from ..format.wide import encode_wide_blocks
 
+        if dictionary and not (
+            engine != "tpu" and native.available() and parser == "optimal"
+        ):
+            raise ValueError(
+                "shared dictionaries need the native optimal-parse pipeline "
+                "(engine != 'tpu', parser='optimal', native library built)"
+            )
         if num_blocks:
             if engine != "tpu" and native.available() and parser == "optimal":
                 # full native block-major pipeline: forward-graph parse
@@ -122,7 +189,7 @@ def encode_container(
                 # rep classification, threaded plane encode
                 payloads, priors_blob, depths, ncmds = native.wide_encode_pipeline(
                     data, block_size, hist_bits, depth_cap=depth_cap,
-                    progress=progress,
+                    progress=progress, dictionary=dictionary or None,
                 )
             else:
                 from ..ops.encode_ops import parse_blocks_device
@@ -139,6 +206,8 @@ def encode_container(
                 ]
             if priors_blob:
                 flags |= FLAG_PRIORS
+            if dictionary:
+                flags |= FLAG_DICT
             # the per-block "reads" slot carries the chain depth: the
             # decoder's exact pointer-doubling round budget
             meta = [
@@ -147,6 +216,8 @@ def encode_container(
             ]
         else:
             payloads, meta, priors_blob = [], [], b""
+            dictionary = b""
+            flags &= ~FLAG_DICT
     elif engine == "tpu" and num_blocks:
         from ..ops.encode_ops import encode_blocks_tpu
 
@@ -189,6 +260,10 @@ def encode_container(
     out.write(struct.pack(">I", crc32(data)))
     if flags & FLAG_PRIORS:
         out.write(priors_blob)
+    if flags & FLAG_DICT:
+        dcomp = _compress_dict(dictionary)
+        out.write(struct.pack(">II", len(dictionary), len(dcomp)))
+        out.write(dcomp)
     for m in meta:
         out.write(_BLK.pack(*m))
     for p in payloads:
@@ -216,6 +291,14 @@ def parse_container(data: bytes) -> ContainerInfo:
         n = priors_blob_size()
         priors = data[off : off + n]
         off += n
+    dictionary = None
+    if flags & FLAG_DICT:
+        raw_len, comp_len = struct.unpack_from(">II", data, off)
+        off += 8
+        dictionary = _decompress_dict(data[off : off + comp_len], raw_len)
+        if len(dictionary) != raw_len:
+            raise IntegrityError("corrupt container dictionary")
+        off += comp_len
     comp_sizes, reads, cmds = [], [], []
     for _ in range(num_blocks):
         cs, rd, nc = _BLK.unpack_from(data, off)
@@ -235,6 +318,7 @@ def parse_container(data: bytes) -> ContainerInfo:
         crc32=crc,
         wide=bool(flags & FLAG_WIDE),
         wide_priors=priors,
+        dictionary=dictionary,
     )
 
 
@@ -292,6 +376,7 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
         return _verified(b"", info)
 
     if info.wide:
+        dictionary = info.dictionary or b""
         if engine in ("serial", "native"):
             # host path: reference plane decoder + (native when built)
             # command expansion; the device path below is the fast one
@@ -299,25 +384,30 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
             from ..format.wide import decode_wide_block
 
             out = bytearray()
+            dlen = len(dictionary)
             for payload in block_payloads(data, info):
                 op_len, op_val = decode_wide_block(payload, info.wide_priors)
                 ol = np.asarray(op_len, np.int32)
                 ov = np.asarray(op_val, np.int32)
                 if engine == "native" and native.available():
-                    out += native.expand_ops(ol, ov, info.block_size)
+                    out += native.expand_ops(
+                        ol, ov, info.block_size, dictionary or None
+                    )
                 else:
                     blk = bytearray()
                     for l, v in zip(ol, ov):
                         if l == 0:
                             blk.append(v)
                         else:
-                            if not 0 < v <= len(blk):
+                            if not 0 < v <= len(blk) + dlen:
                                 raise IntegrityError(
                                     f"corrupt wide stream: match distance {v} "
-                                    f"outside decoded prefix ({len(blk)} bytes)"
+                                    f"outside decoded prefix ({len(blk)} bytes "
+                                    f"+ {dlen} dict)"
                                 )
                             for _ in range(l):
-                                blk.append(blk[len(blk) - v])
+                                p = len(blk) - v
+                                blk.append(blk[p] if p >= 0 else dictionary[dlen + p])
                     out += blk
             return _verified(bytes(out[: info.total_len]), info)
 
@@ -327,6 +417,7 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
             decode_wide_blocks(
                 block_payloads(data, info), info.block_size, info.total_len,
                 info.wide_priors, max(info.total_reads, default=0),
+                dictionary or None,
             ),
             info,
         )

@@ -1,20 +1,25 @@
-"""Compression-ratio regression guards on a deterministic mixed corpus.
+"""Compression-ratio regression guards.
 
-These bounds protect the headline tradeoffs across refactors: v1 blocks
-are the ratio profile, wide is the throughput profile (bounded ratio
-cost). Margins are ~2% over measured values (round 2), so a small
-regression fails CI rather than drifting silently.
+Two corpora, two regimes:
 
-Oracle-delta guards compare against the compiled reference at
--window:15 - the same 32 KiB reach our blocks have - so the delta
-isolates what block independence actually costs (model restarts),
-not window size. At windows >= 20 this corpus's 1 MiB generator period
-makes the single-stream oracle ~30x smaller than ANY 32 KiB-reach
-codec; the window-matrix tests cover that regime with byte parity.
+1. The perf-bench mixed corpus (1 MiB generator period): quick 256 KiB
+   guards at EQUAL 32 KiB reach (-window:15) isolate what block
+   independence costs (model restarts), not window size.
+2. The NON-PERIODIC drifting-topic corpus (utils/corpus.py): 16 MiB
+   guards against the oracle at its default-class -window:20 (1 MiB
+   reach). This is the honest long-range regime - no block is a copy of
+   another, so the oracle's window advantage is real modeling, and the
+   container shared dictionary (round 3) is what closes it.
 
-Measured (round 2): 256 KiB: v1 0.5536, wide/v1 1.1408;
-64 MiB: v1 0.5540, wide/v1 1.1277, v1/oracle(w15) 1.085,
-wide/oracle(w15) 1.224.
+Margins are ~2% over measured values so regressions fail CI rather than
+drifting silently.
+
+Measured (round 3, 16 MiB non-periodic, oracle w20 = 0.3687):
+  v1 32K blocks 0.4534 (1.230x oracle)
+  wide 32K blocks + 32K dict 0.4652 (1.262x)
+  wide 32K blocks no dict 0.5043 (1.368x) - the dict is worth -7.8%
+  wide 128K blocks + 64K dict 0.4342 (1.178x)
+Measured (round 2, periodic 256 KiB): v1 0.5536, wide/v1 1.1408.
 """
 
 import pytest
@@ -25,6 +30,67 @@ def mixed_corpus():
     import bench
 
     return bench.build_corpus(262144)
+
+
+@pytest.fixture(scope="module")
+def nonperiodic16():
+    from nlzm_tpu.utils.corpus import build_nonperiodic
+
+    return build_nonperiodic(16_000_000)
+
+
+@pytest.fixture(scope="module")
+def oracle_w20_size(tmp_path_factory, nonperiodic16):
+    import subprocess
+
+    from conftest import ORACLE_SRC, _ensure_oracle
+
+    if not ORACLE_SRC.exists():
+        pytest.skip("reference source not available")
+    binary = _ensure_oracle()
+    wd = tmp_path_factory.mktemp("oracle_w20")
+    src = wd / "in.bin"
+    dst = wd / "out.nlzm"
+    src.write_bytes(nonperiodic16)
+    subprocess.run(
+        [str(binary), "-window:20", "c", str(src), str(dst)],
+        check=True, capture_output=True,
+    )
+    return dst.stat().st_size
+
+
+def test_window20_oracle_delta_nonperiodic(oracle_w20_size, nonperiodic16):
+    """Long-range regime: parallel profiles vs the oracle's 1 MiB window.
+
+    The shared dictionary gives 32 KiB blocks container-level reach; the
+    guard pins both the with-dict delta and the dict's benefit itself.
+    """
+    from nlzm_tpu import native
+    from nlzm_tpu.parallel.blocks import encode_container
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    data = nonperiodic16
+    v1 = encode_container(data, block_size=32768, parser="optimal")
+    wide_dict = encode_container(
+        data, block_size=32768, parser="optimal", profile="wide", dict_size=32768
+    )
+    assert len(v1) < oracle_w20_size * 1.26  # measured 1.230
+    assert len(wide_dict) < oracle_w20_size * 1.29  # measured 1.262
+
+
+def test_big_block_dict_delta_nonperiodic(oracle_w20_size, nonperiodic16):
+    """128 KiB blocks + 64 KiB dict: the best-ratio parallel config."""
+    from nlzm_tpu import native
+    from nlzm_tpu.parallel.blocks import encode_container
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    wide = encode_container(
+        nonperiodic16, block_size=131072, parser="optimal", profile="wide",
+        dict_size=65536,
+    )
+    assert len(wide) < oracle_w20_size * 1.21  # measured 1.178
 
 
 def _oracle_size(oracle_runner, data, window_bits):
