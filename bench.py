@@ -1,6 +1,9 @@
 """Benchmark: block-parallel TPU decode throughput vs the reference baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the primary metric
+(wide-profile device decode). Extra keys on that line carry the per-stage
+breakdown (scans / assembly / expansion) and the end-to-end container
+rate including host staging.
 
 Measures the wide-profile device decode pipeline (lane-parallel plane
 scans + scan-free assembly + sort-based LZ expansion) on real hardware
@@ -13,10 +16,10 @@ Dev-environment note: this container reaches the TPU through a stdio
 relay; XLA gathers execute at ~70M elem/s and sorts at ~1.2G elem/s on
 this chip - the decode pipeline is structured around those rates (see
 nlzm_tpu/ops/sort_gather.py). Throughput is constant per byte as the
-corpus grows (kernels stay batched across blocks).
+corpus grows (kernels stay batched across blocks). The chip/relay is
+bimodal run-to-run; every metric here is best-of-N within ONE process.
 """
 
-import hashlib
 import json
 import os
 import sys
@@ -28,6 +31,8 @@ sys.path.insert(0, str(REPO))
 
 BLOCK_SIZE = int(os.environ.get("NLZM_BENCH_BLOCK", str(32768)))
 CORPUS_MB = int(os.environ.get("NLZM_BENCH_MB", "8"))
+DICT_SIZE = int(os.environ.get("NLZM_BENCH_DICT", str(32768)))
+REPS = int(os.environ.get("NLZM_BENCH_REPS", "5"))
 
 
 def build_corpus(n: int) -> bytes:
@@ -71,6 +76,22 @@ def build_corpus(n: int) -> bytes:
     return bytes(out[:n])
 
 
+def emit(metric, value, unit, vs_baseline, **extra):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit,
+            "vs_baseline": round(vs_baseline, 3)}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def best_of(fn, reps=REPS):
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return min(times)
+
+
 def main() -> None:
     import jax
 
@@ -83,41 +104,32 @@ def main() -> None:
     from nlzm_tpu.parallel.blocks import block_payloads, encode_container, parse_container
 
     data = build_corpus(CORPUS_MB * 1_000_000)
-    # cache key: corpus + the format-defining module (not the decoder)
-    fmt = (REPO / "nlzm_tpu" / "format" / "wide.py").read_bytes()
-    key = hashlib.sha256(
-        hashlib.sha256(data).digest() + hashlib.sha256(fmt).digest() + f"enc-v8|{BLOCK_SIZE}".encode()
-    ).hexdigest()[:16]
-    cache = REPO / ".build" / f"bench_wide_{key}.nlzp"
-    cache.parent.mkdir(parents=True, exist_ok=True)
+    n = len(data)
 
-    # encode metric: always measured fresh (native single-core pipeline:
-    # optimal parse -> depth lift -> threaded plane encode). Reference
-    # encodes ~1.8 MB/s on one core of this class of machine.
+    # ---- encode metric: native single-core pipeline, measured fresh ----
     t0 = time.time()
     container = encode_container(
-        data, block_size=BLOCK_SIZE, parser="optimal", profile="wide"
+        data, block_size=BLOCK_SIZE, parser="optimal", profile="wide",
+        dict_size=DICT_SIZE,
     )
     enc_secs = time.time() - t0
-    enc_mbs = len(data) / enc_secs / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "host_wide_encode_throughput",
-                "value": round(enc_mbs, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(enc_mbs / 1.8, 3),
-            }
-        )
-    )
-    if not cache.exists():
-        cache.write_bytes(container)
+    emit("host_wide_encode_throughput", n / enc_secs / 1e6, "MB/s",
+         (n / enc_secs / 1e6) / 1.8)
 
+    # ---- wide profile: staged decode with per-stage breakdown ----
+    t_stage0 = time.time()
     info = parse_container(container)
-    buckets = prepare_wide_bucketed(block_payloads(container, info), info.wide_priors)
-    hint = rounds_hint_of(max(info.total_reads, default=0))
-    for staged, _ in buckets:
-        staged["rounds_hint"] = hint
+    payloads = block_payloads(container, info)
+    buckets = prepare_wide_bucketed(payloads, info.wide_priors)
+    dict_arr = (
+        jnp.asarray(np.frombuffer(info.dictionary, np.uint8))
+        if info.dictionary else None
+    )
+    for staged, idx in buckets:
+        staged["rounds_hint"] = rounds_hint_of(
+            max((info.total_reads[b] for b in idx), default=0))
+        staged["dict_arr"] = dict_arr
+    staging_secs = time.time() - t_stage0
 
     # warmup/compile + full correctness check (untimed)
     full = np.empty(len(info.comp_sizes) * info.block_size, np.uint8)
@@ -128,29 +140,104 @@ def main() -> None:
             full[b * info.block_size : (b + 1) * info.block_size] = out_np[row]
     assert full.tobytes()[: info.total_len] == data, "TPU wide decode mismatch"
 
-    # timed runs: force completion through a checksum value fetch
-    # (best of 5: the relay adds run-to-run jitter)
-    times = []
-    for _ in range(5):
-        t0 = time.time()
+    def run_full():
         acc = jnp.zeros((), jnp.int32)
         for staged, _ in buckets:
             out, produced = decode_wide_staged(staged, info.block_size)
             acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
         float(np.asarray(acc))
-        times.append(time.time() - t0)
-    best = min(times)
-    mbs = len(data) / best / 1e6
 
-    print(
-        json.dumps(
-            {
-                "metric": "tpu_block_parallel_decode_throughput",
-                "value": round(mbs, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(mbs / 123.0, 3),
-            }
-        )
+    best = best_of(run_full)
+    mbs = n / best / 1e6
+
+    # stage breakdown: cumulative sync points (scans -> +assembly ->
+    # +expansion); informational, measured with the same best-of
+    from nlzm_tpu.ops.wide_decode import (
+        PLANES, assemble_post_dst, assemble_pre_dst, plane_scan)
+    from nlzm_tpu.ops.expand_ops import lz_expand_parallel
+    from nlzm_tpu.ops.sort_gather import PACK_MAX
+
+    def run_stages(upto):
+        acc = jnp.zeros((), jnp.int32)
+        for staged, _ in buckets:
+            B = staged["B"]
+            n_sym, steps = staged["n_sym"], staged["steps"]
+            seeds, wins = staged["seeds"], staged["wins"]
+            priors = staged.get("priors")
+            pr = lambda name: tuple(priors[name]) if priors else None
+            padw = lambda i: steps[i] * PLANES[i].lanes
+            zero_ctx = lambda i: jnp.zeros((B, padw(i)), jnp.int32)
+            big = info.block_size > PACK_MAX
+            cap15 = (lambda a: a) if big else (
+                lambda a: a[:, : min(a.shape[1], 1 << 15)])
+            scan = lambda i, ctx: plane_scan(
+                seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name))
+            tok_y, = scan(0, zero_ctx(0))
+            lit_hi, lit_lo = scan(1, zero_ctx(1))
+            len_y, = scan(2, zero_ctx(2))
+            lex_hi, lex_lo = scan(3, zero_ctx(3))
+            tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
+                cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo))
+            pre = assemble_pre_dst(tok_y, n_sym[0], len_y, lex_hi, lex_lo,
+                                   padw(4), big)
+            is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = pre
+            dst_hi, dst_lo = scan(4, lc_dict)
+            dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
+            if upto == "scans":
+                acc = acc + jnp.sum(dst_hi) + jnp.sum(tok_y) + jnp.sum(lit_lo)
+                continue
+            op_len, op_val = assemble_post_dst(
+                is_lit, is_rep, is_dict, lv, m_rank, d_rank,
+                lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_half"], n_sym[0],
+                big, wide_delta=dict_arr is not None)
+            if upto == "assembly":
+                acc = acc + jnp.sum(op_len) + jnp.sum(op_val)
+                continue
+            out, produced = lz_expand_parallel(
+                op_len, op_val, info.block_size, staged["rounds_hint"], dict_arr)
+            acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+        float(np.asarray(acc))
+
+    run_stages("scans")  # warm the stage-split graphs
+    run_stages("assembly")
+    t_scans = best_of(lambda: run_stages("scans"))
+    t_asm = best_of(lambda: run_stages("assembly"))
+
+    # ---- v1 FSM profile decode (the reference-compatible block profile) ----
+    from nlzm_tpu.ops.decode_v2 import fsm_decode_v2
+    from nlzm_tpu.parallel.blocks import pack_streams
+
+    v1c = encode_container(data, block_size=BLOCK_SIZE, parser="optimal")
+    v1info = parse_container(v1c)
+    streams = jnp.asarray(pack_streams(v1c, v1info))
+    num_steps = ((max(v1info.num_cmds) + 1 + 255) // 256) * 256
+
+    def run_v1():
+        op_len, op_val = fsm_decode_v2(streams, num_steps)
+        out, produced = lz_expand_parallel(op_len, op_val, v1info.block_size, None, None)
+        acc = jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+        float(np.asarray(acc))
+
+    # warmup + correctness
+    op_len, op_val = fsm_decode_v2(streams, num_steps)
+    out, _ = lz_expand_parallel(op_len, op_val, v1info.block_size, None, None)
+    v1_full = np.asarray(out).reshape(-1)[: v1info.total_len]
+    assert v1_full.tobytes() == data, "TPU v1 decode mismatch"
+    v1_best = best_of(run_v1)
+    emit("tpu_v1_decode_throughput", n / v1_best / 1e6, "MB/s",
+         (n / v1_best / 1e6) / 123.0)
+
+    # ---- primary metric last ----
+    e2e_secs = best + staging_secs
+    emit(
+        "tpu_block_parallel_decode_throughput", mbs, "MB/s", mbs / 123.0,
+        dict_kib=(len(info.dictionary) // 1024 if info.dictionary else 0),
+        ratio=round(len(container) / n, 4),
+        stage_scans_ms=round(t_scans * 1e3, 1),
+        stage_assembly_ms=round(max(t_asm - t_scans, 0.0) * 1e3, 1),
+        stage_expansion_ms=round(max(best - t_asm, 0.0) * 1e3, 1),
+        staging_ms=round(staging_secs * 1e3, 1),
+        e2e_mbs=round(n / e2e_secs / 1e6, 2),
     )
 
 

@@ -837,13 +837,27 @@ def parse_blocks_device(data: bytes, block_size: int, hist_bits: int, parser: st
     else:
         delta, mlen = find_matches(dj, nv, reach)
         op_len, op_val = greedy_cover(dj, delta, mlen, nv, num_steps)
-    op_len_h = np.ascontiguousarray(np.asarray(op_len), np.int32)
-    op_val_h = np.ascontiguousarray(np.asarray(op_val), np.int32)
+    # explicit copies: np.asarray of a jax array is a READ-ONLY view of
+    # the device buffer; the lift mutates op_val in place (the native
+    # path writes through ctypes, which ignores the writeable flag - it
+    # must never alias XLA's buffer)
+    op_len_h = np.array(np.asarray(op_len), np.int32, order="C")
+    op_val_h = np.array(np.asarray(op_val), np.int32, order="C")
     from .. import native
 
     if native.available():
         depths = native.lift_deep(op_len_h, op_val_h, block_size)
     else:
+        if op_len_h.shape[1] > 1:
+            import warnings
+
+            warnings.warn(
+                "native library not built: depth lifting falls back to "
+                "per-byte Python loops (orders of magnitude slower on "
+                f"{op_len_h.shape[1]} blocks); run `make -C native`",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         depths = lift_deep_matches(op_len_h, op_val_h)
     op_rep = repify(jnp.asarray(op_len_h), jnp.asarray(op_val_h))
     return op_len_h, op_val_h, np.asarray(op_rep), depths

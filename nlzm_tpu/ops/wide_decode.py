@@ -538,10 +538,12 @@ def decode_wide_blocks(
 ) -> bytes:
     """Decode wide-profile block payloads (host orchestration).
 
-    max_depth > 0 (from the container's per-block depth fields) lets the
-    expander run its exact round budget instead of detecting convergence.
-    Blocks run in command-count buckets (prepare_wide_bucketed) so one
-    command-dense block does not size every block's scan/sort widths.
+    max_depth (from the container's per-block depth fields) lets the
+    expander run its exact round budget instead of detecting convergence:
+    a scalar applies globally; a per-block sequence gives each bucket its
+    own (smaller) budget. Blocks run in command-count buckets
+    (prepare_wide_bucketed) so one command-dense block does not size
+    every block's scan/sort widths.
     dictionary: container-level shared dictionary (virtual history before
     every block; the expander resolves dict-region ancestors from it).
     """
@@ -549,9 +551,16 @@ def decode_wide_blocks(
     dict_arr = (
         jnp.asarray(np.frombuffer(dictionary, np.uint8)) if dictionary else None
     )
+    per_block = None
+    if not isinstance(max_depth, int):
+        per_block = list(max_depth)
+        max_depth = max(per_block, default=0)
     full = np.empty(len(payloads) * block_size, np.uint8)
     for staged, idx in buckets:
-        staged["rounds_hint"] = rounds_hint_of(max_depth)
+        bucket_depth = (
+            max((per_block[b] for b in idx), default=0) if per_block else max_depth
+        )
+        staged["rounds_hint"] = rounds_hint_of(bucket_depth)
         staged["dict_arr"] = dict_arr
         out, produced = decode_wide_staged(staged, block_size)
         out_np = np.asarray(out)

@@ -416,7 +416,7 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
         return _verified(
             decode_wide_blocks(
                 block_payloads(data, info), info.block_size, info.total_len,
-                info.wide_priors, max(info.total_reads, default=0),
+                info.wide_priors, info.total_reads,
                 dictionary or None,
             ),
             info,
