@@ -381,13 +381,13 @@ def _plane_symbol_data(op_len, op_val, op_rep):
     }, bits
 
 
-def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
-    """Encode command arrays [T, B] into per-block wide payloads.
+def batch_plane_arrays(op_len, op_val, op_rep):
+    """Per-block classification + batched plane arrays.
 
-    op_len < 0 marks steps past a block's end; all blocks' planes encode
-    batched (the rANS passes vectorize across blocks and lanes).
-    Returns (payloads, priors_blob) - the blob ("" when with_priors is
-    False) carries container-level warm-start counts shared by all blocks.
+    Returns (per_block, batched, plane_counts): per_block holds each
+    block's (plane data, raw bits); batched maps plane name ->
+    (syms [reads][B, T_pad], rows, counts [B], mask [B, T_pad]).
+    Shared by the host (numpy) and device (jit) plane encoders.
     """
     op_len = np.asarray(op_len)
     T, B = op_len.shape
@@ -400,7 +400,6 @@ def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
         )
         per_block.append((pd, bits))
 
-    # batched plane arrays (shared by prior building and the rANS passes)
     batched = {}
     plane_counts = []
     for spec in PLANES:
@@ -419,28 +418,13 @@ def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
         mask = np.arange(T_pad)[None, :] < counts[:, None]
         batched[spec.name] = (syms_p, rows_p, counts, mask)
         plane_counts.append(counts)
+    return per_block, batched, plane_counts
 
-    priors, blob = None, b""
-    if with_priors:
-        priors = build_priors(
-            {n: v[0] for n, v in batched.items()},
-            {n: v[1] for n, v in batched.items()},
-            {n: v[3] for n, v in batched.items()},
-        )
-        blob = serialize_priors(priors)
 
-    plane_streams = []
-    plane_offsets = []
-    for spec in PLANES:
-        syms_p, rows_p, counts, _ = batched[spec.name]
-        streams, offsets = _rans_encode_plane(
-            spec, syms_p, rows_p, counts, B,
-            priors[spec.name] if priors else None,
-        )
-        plane_streams.append(streams)
-        plane_offsets.append(offsets)
-
+def assemble_payloads(per_block, plane_counts, plane_streams, plane_offsets):
+    """Per-block payload bytes from plane streams + chunk offsets."""
     payloads = []
+    B = len(per_block)
     for b in range(B):
         out = bytearray()
         for i in range(N_PLANES):
@@ -459,7 +443,49 @@ def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
             out += plane_streams[i][b]
         out += bits
         payloads.append(bytes(out))
-    return payloads, blob
+    return payloads
+
+
+def build_priors_from_batched(batched):
+    """Container-level warm-start priors from batch_plane_arrays output."""
+    return build_priors(
+        {n: v[0] for n, v in batched.items()},
+        {n: v[1] for n, v in batched.items()},
+        {n: v[3] for n, v in batched.items()},
+    )
+
+
+def encode_wide_blocks(op_len, op_val, op_rep, with_priors: bool = True):
+    """Encode command arrays [T, B] into per-block wide payloads.
+
+    op_len < 0 marks steps past a block's end; all blocks' planes encode
+    batched (the rANS passes vectorize across blocks and lanes).
+    Returns (payloads, priors_blob) - the blob ("" when with_priors is
+    False) carries container-level warm-start counts shared by all blocks.
+    """
+    per_block, batched, plane_counts = batch_plane_arrays(op_len, op_val, op_rep)
+    B = len(per_block)
+
+    priors, blob = None, b""
+    if with_priors:
+        priors = build_priors_from_batched(batched)
+        blob = serialize_priors(priors)
+
+    plane_streams = []
+    plane_offsets = []
+    for spec in PLANES:
+        syms_p, rows_p, counts, _ = batched[spec.name]
+        streams, offsets = _rans_encode_plane(
+            spec, syms_p, rows_p, counts, B,
+            priors[spec.name] if priors else None,
+        )
+        plane_streams.append(streams)
+        plane_offsets.append(offsets)
+
+    return (
+        assemble_payloads(per_block, plane_counts, plane_streams, plane_offsets),
+        blob,
+    )
 
 
 def encode_wide_block(op_len, op_val, op_rep) -> bytes:

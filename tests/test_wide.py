@@ -212,3 +212,27 @@ def test_wide_big_block_roundtrip(corpus_text, bs):
     assert decode_container(c) == data
     # host decoders agree
     assert decode_container(c, engine="serial") == data
+
+
+def test_device_plane_encoder_byte_identical():
+    """The jit plane encoder (ops/wide_encode_dev.py) must produce
+    payloads byte-identical to the host numpy encoder - the four-way
+    differential (numpy / C++ / device encode, host / device decode)."""
+    import numpy as np
+
+    from nlzm_tpu import native
+    from nlzm_tpu.ops.wide_encode_dev import encode_wide_blocks_tpu
+    from nlzm_tpu.utils.corpus import build_nonperiodic
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    data = build_nonperiodic(200_000)
+    op_len, op_val = native.parse_blocks(data, 32768, 15)
+    op_len = np.ascontiguousarray(op_len, np.int32)
+    op_val = np.ascontiguousarray(op_val, np.int32)
+    native.lift_deep(op_len, op_val, 32768)
+    op_rep = native.classify_reps(op_len, op_val)
+    ph, bh = wide.encode_wide_blocks(op_len, op_val, op_rep)
+    pd, bd = encode_wide_blocks_tpu(op_len, op_val, op_rep)
+    assert bh == bd
+    assert ph == pd
