@@ -153,7 +153,8 @@ def main() -> None:
     # stage breakdown: cumulative sync points (scans -> +assembly ->
     # +expansion); informational, measured with the same best-of
     from nlzm_tpu.ops.wide_decode import (
-        PLANES, assemble_post_dst, assemble_pre_dst, plane_scan)
+        PLANES, assemble_post_dst, assemble_pre_dst, plane_scan,
+        plane_scan_fused)
     from nlzm_tpu.ops.expand_ops import lz_expand_parallel
     from nlzm_tpu.ops.sort_gather import PACK_MAX
 
@@ -166,22 +167,27 @@ def main() -> None:
             priors = staged.get("priors")
             pr = lambda name: tuple(priors[name]) if priors else None
             padw = lambda i: steps[i] * PLANES[i].lanes
-            zero_ctx = lambda i: jnp.zeros((B, padw(i)), jnp.int32)
             big = info.block_size > PACK_MAX
             cap15 = (lambda a: a) if big else (
                 lambda a: a[:, : min(a.shape[1], 1 << 15)])
-            scan = lambda i, ctx: plane_scan(
-                seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name))
-            tok_y, = scan(0, zero_ctx(0))
-            lit_hi, lit_lo = scan(1, zero_ctx(1))
-            len_y, = scan(2, zero_ctx(2))
-            lex_hi, lex_lo = scan(3, zero_ctx(3))
+            seeds_f = jnp.concatenate([seeds[i] for i in range(4)], axis=1)
+            nsyms_f = jnp.stack([n_sym[i] for i in range(4)], axis=1)
+            priors_f = None
+            if priors:
+                priors_f = (
+                    priors["tok"][0], priors["lit"][0], priors["lit"][1],
+                    priors["len"][0], priors["lex"][0], priors["lex"][1],
+                )
+            tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = plane_scan_fused(
+                seeds_f, tuple(wins[i] for i in range(4)), nsyms_f, steps[0],
+                priors_f)
             tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
                 cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo))
             pre = assemble_pre_dst(tok_y, n_sym[0], len_y, lex_hi, lex_lo,
                                    padw(4), big)
             is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = pre
-            dst_hi, dst_lo = scan(4, lc_dict)
+            dst_hi, dst_lo = plane_scan(
+                seeds[4], wins[4], n_sym[4], lc_dict, 4, steps[4], pr("dst"))
             dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
             if upto == "scans":
                 acc = acc + jnp.sum(dst_hi) + jnp.sum(tok_y) + jnp.sum(lit_lo)

@@ -183,12 +183,17 @@ def _byte_fill_sorted(lens, starts, op_len_t, op_val_t, parent, block_size):
 
 
 def _byte_fill_dict(is_lit, starts, op_val_t, parent, block_size, dict_arr):
-    """Final byte resolution in dict-shifted coordinates.
+    """Final byte resolution in dict-shifted coordinates: ONE merged fill.
 
-    Parents < D resolved from the container dictionary (fill B), parents
-    >= D from the block's literal commands (fill A, today's packed fill
-    in block-local coordinates). Two fills instead of one widened fill
-    keep every key/payload inside the 15-bit packing budget.
+    Sources are the dictionary bytes (positions [0, D)) plus the block's
+    literal commands (positions D + start); queries are the N output
+    positions keyed by parent. Positions use 16 bits, payloads 15 - the
+    packing (pos << 1 | tag) << 15 | pay fills the u32 exactly, so the
+    single maximal code word (pos = D+N-1 = 65535, tag 1, pay = 32767)
+    would collide with the sort's pad key. That combination is exactly
+    "the last block position is a literal rooted at itself"; it is
+    excluded from the sort and patched afterwards from the command
+    arrays (a static-index column fix, not a scatter).
     """
     B, N = parent.shape
     D = dict_arr.shape[0]
@@ -197,18 +202,25 @@ def _byte_fill_dict(is_lit, starts, op_val_t, parent, block_size, dict_arr):
     def post_byte(filled, qpay):
         return (filled & jnp.uint32(0xFF)).astype(_I32)
 
-    in_dict = parent < D
-    out_a = _sparse_fill(
-        starts, is_lit, jnp.where(is_lit, op_val_t, 0),
-        jnp.clip(parent - D, 0, N - 1), iota_n, post_byte,
+    src_pos = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(D, dtype=_I32), (B, D)), D + starts], axis=1
     )
-    dict_pos = jnp.broadcast_to(jnp.arange(D, dtype=_I32), (B, D))
-    dict_pay = jnp.broadcast_to(dict_arr.astype(_I32), (B, D))
-    out_b = _sparse_fill(
-        dict_pos, jnp.ones((B, D), bool), dict_pay,
-        jnp.clip(parent, 0, D - 1), iota_n, post_byte,
+    src_valid = jnp.concatenate(
+        [jnp.ones((B, D), bool), is_lit], axis=1
     )
-    return jnp.where(in_dict, out_b, out_a)
+    src_pay = jnp.concatenate(
+        [jnp.broadcast_to(dict_arr.astype(_I32), (B, D)),
+         jnp.where(is_lit, op_val_t, 0)], axis=1
+    )
+    qry_key = jnp.minimum(parent, D + N - 2)  # exclude the pad-colliding word
+    out = _sparse_fill(src_pos, src_valid, src_pay, qry_key, iota_n, post_byte)
+    # patch the excluded corner: position N-1 a literal rooted at itself
+    last_lit = jnp.sum(
+        jnp.where(is_lit & (starts == N - 1), op_val_t, 0), axis=1
+    )
+    corner = parent[:, N - 1] == D + N - 1
+    fixed_last = jnp.where(corner, last_lit, out[:, N - 1])
+    return jnp.concatenate([out[:, : N - 1], fixed_last[:, None]], axis=1)
 
 
 @partial(jax.jit, static_argnames=("block_size",))

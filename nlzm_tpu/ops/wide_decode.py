@@ -239,6 +239,265 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
     )
 
 
+# ---------------------------------------------------- fused phase-1 scan
+# The tok/lit/len/lex planes all have context-free first reads (row 0),
+# so their scans fuse into ONE: 88 lanes advance together per step, one
+# fence-compare / one window-select op group instead of four - per-step
+# op count is what the chip bills for at these tiny tensor sizes (~8us
+# per op), and the fused scan runs max(steps_p) steps instead of
+# sum(steps_p). The dst plane keeps its own scan (its read-0 row needs
+# the assembled lc context). Stream consumption per plane is unchanged
+# byte-for-byte: each plane keeps its own window, cursor and chunk
+# schedule prefix.
+_P1_L = (32, 32, 16, 8)  # tok, lit, len, lex lanes
+_P1_BASE = (0, 32, 64, 80)
+_P1_LTOT = 88
+_P1_ALPH = (4, 16, 8, 16)
+_P1_BOUNDS = tuple(
+    (b, b + l) for b, l in zip(_P1_BASE, _P1_L)
+)
+_R1_BOUNDS = ((0, 32), (32, 40))  # lit, lex segments of the read-1 subset
+
+
+def _seg_ranks(renorm, bounds):
+    """Per-segment exclusive renorm ranks + per-segment totals.
+
+    renorm: [B, L] bool; bounds: static (start, end) tuples partitioning
+    the lane axis. Returns (rank [B, L], totals list of [B])."""
+    B = renorm.shape[0]
+    cs = jnp.cumsum(renorm.astype(_I32), axis=1)
+    parts, totals = [], []
+    for s, e in bounds:
+        base = cs[:, s - 1 : s] if s > 0 else jnp.zeros((B, 1), _I32)
+        parts.append(cs[:, s:e] - base)
+        totals.append((cs[:, e - 1 : e] - base)[:, 0])
+    return jnp.concatenate(parts, axis=1) - renorm.astype(_I32), totals
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
+    """Decode tok+lit+len+lex for all blocks in one fused scan.
+
+    seeds: [B, 88] u32 lane states (tok|lit|len|lex). wins: tuple of 4
+    per-plane [NC, B, WH_p] chunk windows (NC = global chunk count for
+    `steps`). n_syms: [B, 4] per-plane symbol counts. priors: optional
+    6-tuple (tok0, lit0, lit1, len0, lex0, lex1) of [rows, 16] counts.
+    Returns (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo); plane p's
+    arrays are [B, steps * L_p].
+    """
+    from ..format.wide import chunk_schedule
+
+    B = seeds.shape[0]
+    NC = wins[0].shape[0]
+    WHs = tuple(int(w.shape[2]) for w in wins)
+    base_w = (0, WHs[0], WHs[0] + WHs[1], WHs[0] + WHs[1] + WHs[2])
+    WH_cat = sum(WHs)
+    pad = (-WH_cat) % 8
+    WHc = WH_cat + pad
+    wins_cat = jnp.concatenate(
+        list(wins) + ([jnp.zeros((NC, B, pad), _I32)] if pad else []), axis=2
+    )
+
+    f32 = jnp.float32
+    PX = jax.lax.Precision.HIGHEST
+
+    pid = np.concatenate([np.full(l, i, np.int32) for i, l in enumerate(_P1_L)])
+    lane_off = np.concatenate([np.arange(l, dtype=np.int32) for l in _P1_L])
+    lane_lp = np.concatenate([np.full(l, l, np.int32) for l in _P1_L])
+    base_w_lane = jnp.asarray(np.asarray(base_w, np.int32)[pid])  # [88]
+    pid_j = jnp.asarray(pid)
+
+    t_iota = jnp.arange(steps, dtype=_I32)
+    nsym_lane = jnp.take(n_syms, pid_j, axis=1)  # [B, 88]
+    active_t = (
+        t_iota[:, None, None] * jnp.asarray(lane_lp)[None, None, :]
+        + jnp.asarray(lane_off)[None, None, :]
+    ) < nsym_lane[None, :, :]  # [steps, B, 88]
+
+    # read-1 static metadata: lit lanes 32:64 (rows 0..15), lex lanes
+    # 80:88 (rows 16..31) of the stacked read-1 tables
+    r1_row_base = jnp.asarray(
+        np.concatenate([np.zeros(32, np.int32), np.full(8, 16, np.int32)])
+    )
+    r1_base_w = jnp.asarray(
+        np.concatenate([np.full(32, base_w[1], np.int32), np.full(8, base_w[3], np.int32)])
+    )
+
+    def fetch_pairs(win3, h):
+        oh_hi = jax.nn.one_hot(h >> 3, WHc // 8, dtype=f32)
+        oh_lo = jax.nn.one_hot(h & 7, 8, dtype=f32)
+        s1 = jnp.einsum("blh,bhe->ble", oh_hi, win3, precision=PX)
+        return (
+            jnp.einsum("ble,ble->bl", s1, oh_lo, precision=PX)
+            .astype(_I32)
+            .astype(_U32)
+        )
+
+    def spans_from(tbl, f):
+        """Common fence math: (y, start, freq, y16) from i32 fences."""
+        cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)
+        dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]
+        y = jnp.sum(cmp, axis=2)
+        start = jnp.sum(cmp * dtbl, axis=2)
+        cmp1 = jnp.concatenate(
+            [jnp.ones(cmp.shape[:2] + (1,), _I32), cmp[:, :, :-1]], axis=2
+        )
+        y16 = cmp1 - cmp
+        freq = jnp.sum(y16 * dtbl, axis=2)
+        return y, start, freq, y16
+
+    def make_step(win3):
+        def step_body(carry, xs):
+            x, rels, tables, counts = carry
+            active = xs  # [B, 88]
+            (t_tok0, t_lit0, t_lit1, t_len0, t_lex0, t_lex1) = tables
+            (c_tok0, c_lit0, c_lit1, c_len0, c_lex0, c_lex1) = counts
+
+            # ---- read 0: all 88 lanes, static per-lane single-row tables
+            tbl0 = jnp.concatenate(
+                [
+                    jnp.broadcast_to(t_tok0, (B, 32, 17)),
+                    jnp.broadcast_to(t_lit0, (B, 32, 17)),
+                    jnp.broadcast_to(t_len0, (B, 16, 17)),
+                    jnp.broadcast_to(t_lex0, (B, 8, 17)),
+                ],
+                axis=1,
+            )
+            f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
+            y, start, freq, y16 = spans_from(tbl0, f)
+            x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
+            renorm = active & (x2 < jnp.asarray(1 << 16, _U32))
+            rank, totals = _seg_ranks(renorm, _P1_BOUNDS)
+            rel_lane = jnp.take(rels, pid_j, axis=1)
+            h = jnp.clip(base_w_lane[None, :] + rel_lane + rank, 0, WHc - 1)
+            pair = fetch_pairs(win3, h)
+            x3 = jnp.where(renorm, (x2 << 16) | pair, x2)
+            x = jnp.where(active, x3, x)
+            rels = rels + jnp.stack(totals, axis=1)
+            y = jnp.where(active, y, 0)
+            y16a = y16 * active.astype(_I32)[:, :, None]
+            c_tok0 = c_tok0 + jnp.sum(y16a[:, 0:32], axis=1)[:, None, :]
+            c_lit0 = c_lit0 + jnp.sum(y16a[:, 32:64], axis=1)[:, None, :]
+            c_len0 = c_len0 + jnp.sum(y16a[:, 64:80], axis=1)[:, None, :]
+            c_lex0 = c_lex0 + jnp.sum(y16a[:, 80:88], axis=1)[:, None, :]
+
+            # ---- read 1: lit + lex lanes only (40), rows from read-0 y
+            x40 = jnp.concatenate([x[:, 32:64], x[:, 80:88]], axis=1)
+            act40 = jnp.concatenate([active[:, 32:64], active[:, 80:88]], axis=1)
+            y040 = jnp.concatenate([y[:, 32:64], y[:, 80:88]], axis=1)
+            row40 = r1_row_base[None, :] + y040
+            t1 = jnp.concatenate([t_lit1, t_lex1], axis=1)  # [B, 32, 17]
+            row_oh = jax.nn.one_hot(row40, 32, dtype=f32)
+            tbl40 = jnp.einsum(
+                "blr,brw->blw", row_oh, t1.astype(f32), precision=PX
+            ).astype(_I32)
+            f40 = (x40 & jnp.asarray(0x3FFF, _U32)).astype(_I32)
+            y1, start1, freq1, y161 = spans_from(tbl40, f40)
+            x2b = freq1.astype(_U32) * (x40 >> CDF_SCALE_BITS) + (
+                f40 - start1
+            ).astype(_U32)
+            renorm1 = act40 & (x2b < jnp.asarray(1 << 16, _U32))
+            rank1, totals1 = _seg_ranks(renorm1, _R1_BOUNDS)
+            rel_lit = rels[:, 1:2]
+            rel_lex = rels[:, 3:4]
+            rel40 = jnp.concatenate(
+                [jnp.broadcast_to(rel_lit, (B, 32)), jnp.broadcast_to(rel_lex, (B, 8))],
+                axis=1,
+            )
+            h1 = jnp.clip(r1_base_w[None, :] + rel40 + rank1, 0, WHc - 1)
+            pair1 = fetch_pairs(win3, h1)
+            x3b = jnp.where(renorm1, (x2b << 16) | pair1, x2b)
+            x40 = jnp.where(act40, x3b, x40)
+            x = jnp.concatenate(
+                [x[:, 0:32], x40[:, 0:32], x[:, 64:80], x40[:, 32:40]], axis=1
+            )
+            rels = rels + jnp.stack(
+                [jnp.zeros((B,), _I32), totals1[0], jnp.zeros((B,), _I32), totals1[1]],
+                axis=1,
+            )
+            y1 = jnp.where(act40, y1, 0)
+            y161a = y161 * act40.astype(_I32)[:, :, None]
+            c1 = jnp.einsum(
+                "blr,bls->brs", row_oh, y161a.astype(f32), precision=PX
+            ).astype(_I32)
+            c_lit1 = c_lit1 + c1[:, 0:16]
+            c_lex1 = c_lex1 + c1[:, 16:32]
+
+            counts = (c_tok0, c_lit0, c_lit1, c_len0, c_lex0, c_lex1)
+            tables = (t_tok0, t_lit0, t_lit1, t_len0, t_lex0, t_lex1)
+            return (x, rels, tables, counts), (y, y1)
+
+        return step_body
+
+    alph6 = (4, 16, 16, 8, 16, 16)
+
+    def chunk_body(carry, xs):
+        x, tables, carries = carry
+        active_c, win_c = xs
+        win3 = win_c.reshape(B, WHc // 8, 8).astype(f32)
+        counts0 = tuple(jnp.zeros_like(c) for c in carries)
+        rel0 = jnp.zeros((B, 4), _I32)
+        (x, _, _, counts), ys = jax.lax.scan(
+            make_step(win3), (x, rel0, tables, counts0), active_c
+        )
+        new_carries = tuple(
+            (carries[i] >> 1) + counts[i] for i in range(6)
+        )
+        new_tables = tuple(
+            _build_cdf_jnp(new_carries[i], alph6[i]) for i in range(6)
+        )
+        return (x, new_tables, new_carries), ys
+
+    if priors is None:
+        rows6 = (1, 1, 16, 1, 1, 16)
+        tables0 = tuple(_uniform_tables(B, rows6[i], alph6[i]) for i in range(6))
+        carries0 = tuple(jnp.zeros((B, rows6[i], 16), _I32) for i in range(6))
+    else:
+        rows6 = (1, 1, 16, 1, 1, 16)
+        carries0 = tuple(
+            jnp.broadcast_to(priors[i][None], (B, rows6[i], 16)).astype(_I32)
+            for i in range(6)
+        )
+        tables0 = tuple(
+            _build_cdf_jnp(carries0[i], alph6[i]) for i in range(6)
+        )
+
+    schedule = chunk_schedule(steps)
+    assert sum(schedule) == steps and len(schedule) == NC, (schedule, steps, NC)
+    runs = []
+    for clen in schedule:
+        if runs and runs[-1][0] == clen:
+            runs[-1][1] += 1
+        else:
+            runs.append([clen, 1])
+
+    carry = (seeds.astype(_U32), tables0, carries0)
+    ys0_parts, ys1_parts = [], []
+    t0 = 0
+    c0 = 0
+    for clen, count in runs:
+        seg = slice(t0, t0 + clen * count)
+        act_x = active_t[seg].reshape(count, clen, B, _P1_LTOT)
+        win_x = wins_cat[c0 : c0 + count]
+        carry, (ys0, ys1) = jax.lax.scan(chunk_body, carry, (act_x, win_x))
+        ys0_parts.append(ys0.reshape(count * clen, B, _P1_LTOT))
+        ys1_parts.append(ys1.reshape(count * clen, B, 40))
+        t0 += clen * count
+        c0 += count
+
+    y0 = jnp.concatenate(ys0_parts, axis=0).transpose(1, 0, 2)  # [B, steps, 88]
+    y1 = jnp.concatenate(ys1_parts, axis=0).transpose(1, 0, 2)  # [B, steps, 40]
+    out = []
+    # (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
+    out.append(y0[:, :, 0:32].reshape(B, steps * 32))
+    out.append(y0[:, :, 32:64].reshape(B, steps * 32))
+    out.append(y1[:, :, 0:32].reshape(B, steps * 32))
+    out.append(y0[:, :, 64:80].reshape(B, steps * 16))
+    out.append(y0[:, :, 80:88].reshape(B, steps * 8))
+    out.append(y1[:, :, 32:40].reshape(B, steps * 8))
+    return tuple(out)
+
+
 # ------------------------------------------------------------- assembly
 @partial(jax.jit, static_argnames=("dst_width", "big"))
 def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width, big=False):
@@ -370,34 +629,40 @@ def stage_plane(stream_list, offset_list, plane_idx: int, steps: int):
     wins holds each chunk's renorm pairs as big-endian values, dense and
     zero-padded to WH (the max pair count of any (block, chunk)); block
     offsets pad to the global chunk count by repeating the stream end.
+    Window building is one vectorized numpy take (the per-(block, chunk)
+    slice loop was the dominant host staging cost at container scale).
     """
     from ..format.wide import chunk_schedule
 
     L = PLANES[plane_idx].lanes
     B = len(stream_list)
     NC = len(chunk_schedule(steps))
-    seeds = np.zeros((B, L), np.uint32)
+    seeds = np.frombuffer(
+        b"".join(s[: 4 * L] for s in stream_list), "<u4"
+    ).reshape(B, L)
+    hw_lens = np.asarray([(len(s) - 4 * L) // 2 for s in stream_list], np.int64)
+    hw_flat = np.frombuffer(
+        b"".join(s[4 * L :] for s in stream_list), ">u2"
+    ).astype(np.int32)
+    hw_base = np.zeros(B + 1, np.int64)
+    np.cumsum(hw_lens, out=hw_base[1:])
+
     offs = np.zeros((B, NC + 1), np.int64)
-    pair_counts = np.zeros((B, NC), np.int64)
-    hws = []
-    for b in range(B):
-        s = stream_list[b]
-        seeds[b] = np.frombuffer(s[: 4 * L], "<u4")
-        hw = np.frombuffer(s[4 * L :], ">u2").astype(np.int32)
-        hws.append(hw)
-        o = offset_list[b]
+    for b, o in enumerate(offset_list):
         offs[b, : len(o)] = o
-        offs[b, len(o) :] = len(hw) * 2
-        pair_counts[b] = (offs[b, 1:] - offs[b, :-1]) // 2
+        offs[b, len(o) :] = hw_lens[b] * 2
+    pair_counts = (offs[:, 1:] - offs[:, :-1]) // 2  # [B, NC]
     WH = max(8, int(-(-pair_counts.max() // 8)) * 8)
-    wins = np.zeros((NC, B, WH), np.int32)
-    for b in range(B):
-        hw = hws[b]
-        for c in range(NC):
-            lo = int(offs[b, c]) // 2
-            n = int(pair_counts[b, c])
-            wins[c, b, :n] = hw[lo : lo + n]
-    return jnp.asarray(seeds), jnp.asarray(wins)
+    if len(hw_flat) == 0:
+        return jnp.asarray(seeds), jnp.zeros((NC, B, WH), _I32)
+    # wins[c, b, k] = hw[b][offs[b, c]/2 + k] for k < pair_counts[b, c]
+    k = np.arange(WH, dtype=np.int64)
+    idx = hw_base[:-1][:, None, None] + offs[:, :-1, None] // 2 + k  # [B, NC, WH]
+    mask = k < pair_counts[:, :, None]
+    wins = np.where(
+        mask, np.take(hw_flat, np.minimum(idx, len(hw_flat) - 1)), 0
+    ).transpose(1, 0, 2).astype(np.int32)
+    return jnp.asarray(seeds), jnp.asarray(np.ascontiguousarray(wins))
 
 
 def prepare_wide(payloads, priors_blob: bytes | None = None):
@@ -429,6 +694,10 @@ def prepare_wide(payloads, priors_blob: bytes | None = None):
         padded_steps(int(counts[:, i].max()), PLANES[i].lanes)
         for i in range(N_PLANES)
     ]
+    # phase-1 planes share one fused scan: one global step count (the max
+    # is itself a valid schedule sum), windows staged to its chunk count
+    steps_fused = max(steps_g[:4])
+    steps_g = [steps_fused] * 4 + [steps_g[4]]
 
     seeds_l, wins_l = [], []
     for i in range(N_PLANES):
@@ -476,21 +745,27 @@ def decode_wide_staged(staged, block_size: int):
     priors = staged.get("priors")
     pr = lambda name: tuple(priors[name]) if priors else None
     padw = lambda i: steps[i] * PLANES[i].lanes
-    zero_ctx = lambda i: jnp.zeros((B, padw(i)), _I32)
     big = block_size > PACK_MAX  # 2-operand sort path for > 32 KiB blocks
     # plane pad can exceed the 15-bit packed-sort budget by one chunk;
     # symbol counts never do (every command produces >= 1 byte)
     cap15 = (lambda a: a) if big else (lambda a: a[:, : min(a.shape[1], 1 << 15)])
 
-    scan = lambda i, ctx: plane_scan(
-        seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name)
+    seeds_f = jnp.concatenate([seeds[i] for i in range(4)], axis=1)
+    nsyms_f = jnp.stack([n_sym[i] for i in range(4)], axis=1)
+    priors_f = None
+    if priors:
+        priors_f = (
+            priors["tok"][0], priors["lit"][0], priors["lit"][1],
+            priors["len"][0], priors["lex"][0], priors["lex"][1],
+        )
+    tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = plane_scan_fused(
+        seeds_f, tuple(wins[i] for i in range(4)), nsyms_f, steps[0], priors_f
     )
-    tok_y, = scan(0, zero_ctx(0))
-    lit_hi, lit_lo = scan(1, zero_ctx(1))
-    len_y, = scan(2, zero_ctx(2))
-    lex_hi, lex_lo = scan(3, zero_ctx(3))
     tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
         cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
+    )
+    scan = lambda i, ctx: plane_scan(
+        seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name)
     )
 
     is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
@@ -556,6 +831,9 @@ def decode_wide_blocks(
         per_block = list(max_depth)
         max_depth = max(per_block, default=0)
     full = np.empty(len(payloads) * block_size, np.uint8)
+    # dispatch every bucket before forcing any: device compute of bucket k
+    # overlaps the host-side fetch of bucket k-1 (dispatch is async)
+    outs = []
     for staged, idx in buckets:
         bucket_depth = (
             max((per_block[b] for b in idx), default=0) if per_block else max_depth
@@ -563,6 +841,8 @@ def decode_wide_blocks(
         staged["rounds_hint"] = rounds_hint_of(bucket_depth)
         staged["dict_arr"] = dict_arr
         out, produced = decode_wide_staged(staged, block_size)
+        outs.append((out, idx))
+    for out, idx in outs:
         out_np = np.asarray(out)
         for row, b in enumerate(idx):
             full[b * block_size : (b + 1) * block_size] = out_np[row]

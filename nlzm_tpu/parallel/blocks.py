@@ -126,7 +126,7 @@ def encode_container(
     parser: str = "greedy",
     engine: str = "auto",
     profile: str = "v1",
-    depth_cap: int = 16,
+    depth_cap: int = 8,
     dict_size: int = 0,
     progress=None,
 ) -> bytes:
@@ -135,10 +135,11 @@ def encode_container(
     depth_cap > 0 HARD-bounds every byte's literal-ancestor chain depth
     in wide blocks (lift + split at parse time), fixing the device
     expander's pointer-doubling budget at ceil(log2(depth_cap)) rounds.
-    The default 16 (4 rounds, vs ~5 unbounded) costs ~0.4% size;
-    aggressive caps (<= 8) cost several % on short-match-dense data
-    because splitting breaks rep chains. 0 = soft lift only (no split,
-    depth bounded only in practice, ~25).
+    The default 8 (3 doubling rounds) costs ~0.1% size on the perf mix
+    and ~1% on non-periodic text vs cap 16, and saves a full doubling
+    round per decode; cap 4 costs several % because splitting breaks rep
+    chains. 0 = soft lift only (no split, depth bounded only in
+    practice, ~25).
 
     profile="wide" encodes blocks in the lane-parallel wide profile
     (format/wide.py): device parse + host plane packing; decodes with the
