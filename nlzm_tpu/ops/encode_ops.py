@@ -107,11 +107,17 @@ def find_matches(data: jax.Array, n_valid: jax.Array, reach: int, num_cands: int
     pos = jnp.broadcast_to(jnp.arange(N, dtype=_I32), (B, N))
     # sort by (hash, position): equal hashes adjacent, positions ascending.
     # 16-bit hash * N overflows i32 for N > 32768 (65535*32768+32767 is
-    # exactly INT32_MAX), scrambling the grouping silently.
-    assert N <= 32768, f"find_matches block size {N} exceeds the i32 sort-key budget"
-    key = h.astype(_I32) * N + pos
-    order = jnp.argsort(key, axis=1)
-    h_s = jnp.take_along_axis(h, order, axis=1)
+    # exactly INT32_MAX); big blocks switch to a 2-operand lexicographic
+    # sort ((h, pos) both keys, ~1.8x per element) - same grouping, no
+    # packing budget, blocks to the format's 128 KiB cap.
+    if N <= 32768:
+        key = h.astype(_I32) * N + pos
+        order = jnp.argsort(key, axis=1)
+        h_s = jnp.take_along_axis(h, order, axis=1)
+    else:
+        h_s, order = jax.lax.sort(
+            (h.astype(_I32), pos), dimension=1, num_keys=2, is_stable=False
+        )
     barange = jnp.arange(B)[:, None]
     wordp = jnp.concatenate([word, jnp.zeros((B, MAX_MLEN + 4), _U32)], axis=1)
 

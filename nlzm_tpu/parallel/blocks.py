@@ -167,11 +167,6 @@ def encode_container(
     if profile == "wide":
         if block_size > WIDE_MAX_BLOCK:
             raise ValueError("wide profile caps blocks at 128 KiB")
-        if engine == "tpu" and block_size > 32768:
-            raise ValueError(
-                "device parse caps blocks at 32 KiB (i32 sort-key budget); "
-                "use the native parser for bigger blocks"
-            )
         flags |= FLAG_WIDE
         from .. import native
         from ..format.wide import encode_wide_blocks

@@ -88,3 +88,22 @@ def test_tpu_encode_single_frame_cap():
 
     with pytest.raises(ValueError):
         encode_blocks_tpu(b"x" * 100000, 65536, 14)
+
+
+def test_device_parse_big_blocks():
+    """Device parse above 32 KiB (2-operand sort grouping): 128 KiB wide
+    blocks round-trip and land within 2% of the native parse's size."""
+    from nlzm_tpu import native
+    from nlzm_tpu.utils.corpus import build_nonperiodic
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    data = build_nonperiodic(262144)
+    dev = encode_container(
+        data, block_size=131072, parser="optimal", profile="wide", engine="tpu"
+    )
+    assert decode_container(dev, engine="native") == data
+    nat = encode_container(
+        data, block_size=131072, parser="optimal", profile="wide", engine="native"
+    )
+    assert len(dev) <= len(nat) * 1.02
