@@ -233,6 +233,29 @@ def main() -> None:
     emit("tpu_v1_decode_throughput", n / v1_best / 1e6, "MB/s",
          (n / v1_best / 1e6) / 123.0)
 
+    # ---- NLZC (TPU PPM-class) decode: B=256 blocks on-chip ----
+    # Baseline: the reference PPMd var.I (order-6) measured on this
+    # machine via the shimmed research harness: decode 3.42 MB/s,
+    # ratio 0.337 on the 8 MB bench mix (BASELINE.md).
+    from nlzm_tpu.research import ppm_tpu
+
+    nlzc_data = data[: 4 << 20]
+    nlzc_blob = ppm_tpu.compress(nlzc_data, block_size=16384)
+    words_c, seg_c, prior_c, steps_c, seg_np, tot_c, B_c = ppm_tpu.stage_container(
+        nlzc_blob)
+    # warmup + correctness
+    assert ppm_tpu.decompress(nlzc_blob) == nlzc_data, "NLZC decode mismatch"
+
+    def run_nlzc():
+        out = ppm_tpu._decode_blocks(words_c, seg_c, prior_c, steps_c)
+        float(np.asarray(jnp.sum(out.astype(jnp.int32))))
+
+    nlzc_best = best_of(run_nlzc)
+    emit("tpu_nlzc_decode_throughput", len(nlzc_data) / nlzc_best / 1e6, "MB/s",
+         (len(nlzc_data) / nlzc_best / 1e6) / 3.42,
+         blocks=B_c, ratio=round(len(nlzc_blob) / len(nlzc_data), 4),
+         ppmd_ref_ratio=0.337)
+
     # ---- primary metric last ----
     e2e_secs = best + staging_secs
     emit(

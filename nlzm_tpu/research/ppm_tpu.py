@@ -1,10 +1,11 @@
-"""Batched TPU PPM-class codec: segment-parallel order-2 context mixing.
+"""Batched TPU PPM-class codec: segment-parallel context mixing (NLZC).
 
 TPU counterpart of the PPM research codec (research/ppm.py): where the
 host codec walks a per-symbol-adaptive order-6 hash trie (inherently
-sequential, like the reference's PPMd var.I), this one restructures
-context modeling for lane-parallel decode, the same way the wide LZ
-profile restructures NLZM:
+sequential, like the reference's PPMd var.I,
+/root/reference/research/ppmd-cleaned-cpp/ppmd_model.cpp), this one
+restructures context modeling for lane-parallel decode, the same way the
+wide LZ profile restructures NLZM:
 
 - **Segments, not interleaves.** Each block splits into L=32 contiguous
   segments, one per rANS lane. A lane decodes its segment sequentially,
@@ -12,25 +13,35 @@ profile restructures NLZM:
   no cross-lane dependency inside a step. (Round-robin interleaving would
   make byte s's context byte s-1, owned by the neighboring lane in the
   same step - circular.)
-- **Order-2 nibble model.** Two reads per byte: hi nibble in a
-  quantized two-byte context (prev hi nibble + prev2 top 2 bits,
-  64 rows x 16), lo nibble keyed by the current hi nibble + prev top
-  2 bits (64 rows x 16) - quantization keeps the per-chunk counts dense
-  enough to adapt. Tables are chunk-static and
-  rebuilt from realized counts on both sides (warmup 2/2/4/8 then 16
-  steps, carry halving) - the wide profile's adaptation scheme.
+- **Full-previous-byte nibble model (v3).** Two reads per byte: hi
+  nibble keyed by the full previous byte + prev2 top bit (512 rows x 16),
+  lo nibble keyed by the current hi nibble + prev top 5 bits (512 x 16).
+- **Container prior (v3).** The encoder makes a first pass collecting
+  global per-row counts, quantizes them to u8 (max-normed * 64), and
+  ships them once per container (2*512*16 = 16 KiB). Both sides seed
+  the initial tables from 8x the prior and add the same term at every
+  rebuild - the PPM-style escape-to-lower-order analog, resolved
+  statically. Worth ~7% ratio on the bench mix (0.687 -> 0.617).
+- **Hierarchical backoff (v3).** At each rebuild the 512 rows also
+  receive half the summed counts of their 16-row group (= the rows
+  sharing the hi-nibble-of-prev context): counts += group_sum // 2.
+- **Chunk-static tables.** Tables are rebuilt from realized counts on
+  both sides (warmup 2/2/4/8 then 16 steps, carry halving) - the wide
+  profile's adaptation scheme.
 - **Same rANS.** 14-bit CDFs, 16-bit renorm, 4-byte LE lane seeds, renorm
   pairs in exact decode order (step, read, lane).
 
 Container: b"NLZC" | u8 ver | u8 lanes | u32be block_size |
-u64be total_len | u32be num_blocks | per block u32be stream_bytes |
-streams. Per-lane segment lengths derive from the block length.
+u64be total_len | u32be num_blocks | prior | per block u32be
+stream_bytes | streams. Per-lane segment lengths derive from the block
+length. The prior ships RLE-coded ((run u8, value u8) pairs, u32be
+byte-length prefix; rows are mostly zero) and only when
+total_len >= PRIOR_MIN - below that the 16 KiB table would swamp the
+container and both sides use a zero prior.
 
 Research-grade like the reference's research tree: it demonstrates the
-batched formulation; the order-6 host codec remains the ratio reference.
-Measured (tunneled v5e, 2 MB mixed corpus, 61 blocks): ratio 0.70,
-decode ~1.4 MB/s end-to-end API - per-byte cost scales down with block
-count like the LZ pipelines (this run is latency-dominated at B=61).
+batched formulation; the order-6 host codec remains the ratio reference
+(the var.I harness runs order-6, main.cpp:47).
 """
 
 import numpy as np
@@ -39,11 +50,45 @@ from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
 from ..format.wide import build_cdf, chunk_schedule, padded_steps
 
 MAGIC = b"NLZC"
-VERSION = 2  # v2: order-2 contexts (64 rows)
+VERSION = 3  # v3: 512-row full-prev contexts + container prior + backoff
 LANES = 32
 DEFAULT_BLOCK = 32768
-ROWS = 64
+ROWS = 512
+GROUP = 32  # rows per backoff group (same prev hi nibble)
+PRIOR_W = 8  # prior weight at every rebuild
+PRIOR_QUANT = 64  # per-row max-norm scale of the shipped u8 prior
 BLEND = 2  # uniform prior mass per cell at each rebuild (guards noise rows)
+PRIOR_MIN = 65536  # ship the prior only for inputs at least this long
+
+
+def _rle_encode(flat: np.ndarray) -> bytes:
+    """(run u8 1..255, value u8) pairs over a u8 array (zero-dominated)."""
+    out = bytearray()
+    n = len(flat)
+    i = 0
+    while i < n:
+        v = flat[i]
+        j = i + 1
+        while j < n and j - i < 255 and flat[j] == v:
+            j += 1
+        out += bytes((j - i, int(v)))
+        i = j
+    return bytes(out)
+
+
+def _rle_decode(buf: bytes, n: int) -> np.ndarray:
+    out = np.zeros(n, np.uint8)
+    pos = 0
+    for i in range(0, len(buf), 2):
+        run, v = buf[i], buf[i + 1]
+        if pos + run > n:
+            raise ValueError("corrupt NLZC prior (RLE overrun)")
+        if v:
+            out[pos : pos + run] = v
+        pos += run
+    if pos != n:
+        raise ValueError("corrupt NLZC prior (RLE short)")
+    return out
 
 
 def _seg_lens(nb: int):
@@ -54,107 +99,135 @@ def _seg_lens(nb: int):
 
 
 def _rows_of(prev, prev2, hi):
-    """(row0, row1) quantized order-2 context rows."""
-    return ((prev >> 4) << 2) | (prev2 >> 6), (hi << 2) | (prev >> 6)
+    """(row0, row1) context rows: full prev byte / hi + prev top bits."""
+    return (prev << 1) | (prev2 >> 7), (hi << 5) | (prev >> 3)
 
 
-def encode_block(block: bytes) -> bytes:
-    """Encode one block -> stream bytes (seeds + pairs, decode order)."""
-    nb = len(block)
-    S, lens = _seg_lens(nb)
-    steps = padded_steps(S, 1) if S else padded_steps(1, 1)
-    data = np.frombuffer(block, np.uint8).astype(np.int64)
+def _effective_counts(carry, prior):
+    """Shared rebuild rule: carry + backoff group-sum + weighted prior.
 
-    # per (lane, t) symbols and contexts
-    sym_hi = np.zeros((steps, LANES), np.int64)
-    sym_lo = np.zeros((steps, LANES), np.int64)
-    row0 = np.zeros((steps, LANES), np.int64)
-    row1 = np.zeros((steps, LANES), np.int64)
-    active = np.zeros((steps, LANES), bool)
-    for l in range(LANES):
-        n = int(lens[l])
-        if n == 0:
-            continue
-        seg = data[l * S : l * S + n]
-        prev = np.concatenate([[0], seg[:-1]])
-        prev2 = np.concatenate([[0, 0], seg[:-2]])[:n]
-        hi, lo = seg >> 4, seg & 15
-        sym_hi[:n, l] = hi
-        sym_lo[:n, l] = lo
-        r0, r1 = _rows_of(prev, prev2, hi)
-        row0[:n, l] = r0
-        row1[:n, l] = r1
-        active[:n, l] = True
+    carry: [..., ROWS, 16] int64; prior: [ROWS, 16] int64 (quantized).
+    Integer arithmetic only - must stay mirror-exact with the device
+    rebuild in _decode_blocks.
+    """
+    shp = carry.shape[:-2]
+    gs = carry.reshape(shp + (ROWS // GROUP, GROUP, 16)).sum(axis=-2)
+    gs = np.repeat(gs, GROUP, axis=-2)
+    return carry + gs // 2 + PRIOR_W * prior
 
-    # forward table simulation
-    uniform = np.zeros(17, np.int64)
-    uniform[1:] = np.arange(1, 17) * (CDF_SCALE_TOTAL // 16)
-    t_hi = np.broadcast_to(uniform, (ROWS, 17)).copy()
-    t_lo = t_hi.copy()
-    c_hi = np.zeros((ROWS, 16), np.int64)
-    c_lo = np.zeros((ROWS, 16), np.int64)
-    carry_hi = np.zeros((ROWS, 16), np.int64)
-    carry_lo = np.zeros((ROWS, 16), np.int64)
-    boundary_after = set()
-    acc = 0
-    for c in chunk_schedule(steps):
-        acc += c
-        boundary_after.add(acc - 1)
 
-    starts = np.zeros((steps, 2, LANES), np.int64)
-    freqs = np.ones((steps, 2, LANES), np.int64)
-    for t in range(steps):
-        a = active[t]
-        for r, (tbl, cnt, rows, sym) in enumerate(
-            [(t_hi, c_hi, row0, sym_hi), (t_lo, c_lo, row1, sym_lo)]
-        ):
-            rr, yy = rows[t], sym[t]
-            st = tbl[rr, yy]
-            fq = tbl[rr, yy + 1] - st
-            starts[t, r] = np.where(a, st, 0)
-            freqs[t, r] = np.where(a, fq, 1)
-            np.add.at(cnt, (rr[a], yy[a]), 1)
-        if t in boundary_after:
-            carry_hi = (carry_hi >> 1) + c_hi
-            carry_lo = (carry_lo >> 1) + c_lo
-            c_hi[:] = 0
-            c_lo[:] = 0
-            t_hi = build_cdf(carry_hi + BLEND, 16)
-            t_lo = build_cdf(carry_lo + BLEND, 16)
+def _layout(data_blocks):
+    """Stack blocks -> per-(step, block, lane) symbol/context arrays."""
+    B = len(data_blocks)
+    lens = [len(b) for b in data_blocks]
+    S_b = [-(-nb // LANES) if nb else 0 for nb in lens]
+    steps = padded_steps(max(S_b) if S_b else 1, 1)
+    sym = np.zeros((B, LANES, steps), np.int64)
+    act = np.zeros((B, LANES, steps), bool)
+    for b, blk in enumerate(data_blocks):
+        arr = np.frombuffer(blk, np.uint8)
+        Sb = S_b[b]
+        for l in range(LANES):
+            seg = arr[l * Sb : (l + 1) * Sb]
+            sym[b, l, : len(seg)] = seg
+            act[b, l, : len(seg)] = True
+    prev = np.concatenate([np.zeros((B, LANES, 1), np.int64), sym[:, :, :-1]], axis=2)
+    prev2 = np.concatenate([np.zeros((B, LANES, 2), np.int64), sym[:, :, :-2]], axis=2)
+    tr = lambda a: np.ascontiguousarray(a.transpose(2, 0, 1))  # [steps, B, L]
+    return tr(sym), tr(prev), tr(prev2), tr(act), steps
 
-    # backward interleaved rANS
-    x = np.full(LANES, 1 << 16, np.uint64)
-    pair_all = np.zeros((steps * 2, LANES), np.uint16)
-    mask_all = np.zeros((steps * 2, LANES), bool)
-    for t in range(steps - 1, -1, -1):
+
+def build_prior(sym, prev, prev2, act):
+    """Pass 1: global per-row counts, u8-quantized (max-norm * 64)."""
+    hi, lo = sym >> 4, sym & 15
+    r0, r1 = _rows_of(prev, prev2, hi)
+    prior = np.zeros((2, ROWS, 16), np.int64)
+    np.add.at(prior[0], (r0[act], hi[act]), 1)
+    np.add.at(prior[1], (r1[act], lo[act]), 1)
+    mx = np.maximum(prior.max(axis=2, keepdims=True), 1)
+    return (prior * PRIOR_QUANT) // mx  # [2, ROWS, 16], values 0..64
+
+
+def encode_blocks(data_blocks, prior):
+    """Pass 2: batched table simulation + backward rANS for all blocks.
+
+    -> list of per-block stream bytes (seeds + renorm pairs, decode
+    order)."""
+    B = len(data_blocks)
+    sym, prev, prev2, act, steps = _layout(data_blocks)
+    hi, lo = sym >> 4, sym & 15
+    r0, r1 = _rows_of(prev, prev2, hi)
+
+    t = [np.broadcast_to(
+            build_cdf(PRIOR_W * prior[r] + BLEND, 16), (B, ROWS, 17)).copy()
+         for r in range(2)]
+    c = [np.zeros((B, ROWS, 16), np.int64) for _ in range(2)]
+    carry = [np.zeros((B, ROWS, 16), np.int64) for _ in range(2)]
+    bounds = set(np.cumsum(chunk_schedule(steps)) - 1)
+    bidx = np.repeat(np.arange(B), LANES)
+
+    starts = np.zeros((steps, 2, B, LANES), np.int64)
+    freqs = np.ones((steps, 2, B, LANES), np.int64)
+    for tstep in range(steps):
+        a = act[tstep].ravel()
+        for r, (rr, yy) in enumerate(((r0[tstep], hi[tstep]), (r1[tstep], lo[tstep]))):
+            rrf, yyf = rr.ravel(), yy.ravel()
+            st = t[r][bidx, rrf, yyf]
+            fq = t[r][bidx, rrf, yyf + 1] - st
+            starts[tstep, r] = np.where(a, st, 0).reshape(B, LANES)
+            freqs[tstep, r] = np.where(a, fq, 1).reshape(B, LANES)
+            np.add.at(c[r], (bidx[a], rrf[a], yyf[a]), 1)
+        if tstep in bounds:
+            for r in range(2):
+                carry[r] = (carry[r] >> 1) + c[r]
+                c[r][:] = 0
+                t[r] = build_cdf(_effective_counts(carry[r], prior[r]) + BLEND, 16)
+
+    # backward interleaved rANS, batched over blocks
+    x = np.full((B, LANES), 1 << 16, np.uint64)
+    pair_all = np.zeros((steps * 2, B, LANES), np.uint16)
+    mask_all = np.zeros((steps * 2, B, LANES), bool)
+    for tstep in range(steps - 1, -1, -1):
+        a = act[tstep]
         for r in (1, 0):
-            a = active[t]
-            fq = freqs[t, r].astype(np.uint64)
-            st = starts[t, r].astype(np.uint64)
+            fq = freqs[tstep, r].astype(np.uint64)
+            st = starts[tstep, r].astype(np.uint64)
             over = a & (x >= (fq << 18))
-            pair_all[t * 2 + r] = (x & 0xFFFF).astype(np.uint16)
-            mask_all[t * 2 + r] = over
+            pair_all[tstep * 2 + r] = (x & 0xFFFF).astype(np.uint16)
+            mask_all[tstep * 2 + r] = over
             x1 = np.where(over, x >> 16, x)
             x2 = ((x1 // fq) << CDF_SCALE_BITS) + (x1 % fq) + st
             x = np.where(a, x2, x)
 
-    out = x.astype("<u4").view(np.uint8).tobytes()
-    out += pair_all[mask_all].astype(">u2").tobytes()
+    out = []
+    for b in range(B):
+        s = x[b].astype("<u4").view(np.uint8).tobytes()
+        s += pair_all[:, b][mask_all[:, b]].astype(">u2").tobytes()
+        out.append(s)
     return out
 
 
 def compress(data: bytes, block_size: int = DEFAULT_BLOCK) -> bytes:
     nblocks = -(-len(data) // block_size) if data else 0
-    streams = [
-        encode_block(data[b * block_size : (b + 1) * block_size])
-        for b in range(nblocks)
-    ]
+    blocks = [data[b * block_size : (b + 1) * block_size] for b in range(nblocks)]
+    prior = np.zeros((2, ROWS, 16), np.int64)
+    if nblocks:
+        if len(data) >= PRIOR_MIN:
+            sym, prev, prev2, act, _ = _layout(blocks)
+            prior = build_prior(sym, prev, prev2, act)
+        streams = encode_blocks(blocks, prior)
+    else:
+        streams = []
     out = bytearray()
     out += MAGIC
     out += bytes([VERSION, LANES])
     out += block_size.to_bytes(4, "big")
     out += len(data).to_bytes(8, "big")
     out += nblocks.to_bytes(4, "big")
+    if len(data) >= PRIOR_MIN:
+        rle = _rle_encode(prior.astype(np.uint8).ravel())
+        out += len(rle).to_bytes(4, "big")
+        out += rle
     for s in streams:
         out += len(s).to_bytes(4, "big")
     for s in streams:
@@ -162,8 +235,12 @@ def compress(data: bytes, block_size: int = DEFAULT_BLOCK) -> bytes:
     return bytes(out)
 
 
-def decompress(blob: bytes, mesh=None) -> bytes:
-    """Batched device decode of an NLZC container.
+def stage_container(blob: bytes, mesh=None):
+    """Parse an NLZC container and stage device inputs.
+
+    -> (words, seg_dev, prior_dev, steps, seg, total_len, nblocks), with
+    words/seg_dev optionally sharded over mesh's first axis. nblocks=0
+    -> all device entries are None.
 
     mesh: optional jax.sharding.Mesh - block-shards the stream words and
     segment lengths over the mesh's first axis (data-parallel decode,
@@ -173,11 +250,22 @@ def decompress(blob: bytes, mesh=None) -> bytes:
     import jax.numpy as jnp
 
     if blob[:4] != MAGIC or blob[4] != VERSION or blob[5] != LANES:
-        raise ValueError("not an NLZC v2 stream (bad magic/version/lanes)")
+        raise ValueError("not an NLZC v3 stream (bad magic/version/lanes)")
     block_size = int.from_bytes(blob[6:10], "big")
     total_len = int.from_bytes(blob[10:18], "big")
     nblocks = int.from_bytes(blob[18:22], "big")
     off = 22
+    if total_len >= PRIOR_MIN:
+        rle_n = int.from_bytes(blob[off : off + 4], "big")
+        off += 4
+        prior = (
+            _rle_decode(blob[off : off + rle_n], 2 * ROWS * 16)
+            .astype(np.int64)
+            .reshape(2, ROWS, 16)
+        )
+        off += rle_n
+    else:
+        prior = np.zeros((2, ROWS, 16), np.int64)
     sizes = []
     for _ in range(nblocks):
         sizes.append(int.from_bytes(blob[off : off + 4], "big"))
@@ -187,7 +275,7 @@ def decompress(blob: bytes, mesh=None) -> bytes:
         streams.append(blob[off : off + sz])
         off += sz
     if not nblocks:
-        return b""
+        return None, None, None, 0, None, total_len, 0
 
     B = nblocks
     pad_B = B
@@ -214,6 +302,7 @@ def decompress(blob: bytes, mesh=None) -> bytes:
     seg_pad[:B] = seg
     steps = padded_steps(int(S_b.max()), 1)
     seg_dev = jnp.asarray(seg_pad)
+    prior_dev = jnp.asarray(prior, jnp.int32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -221,7 +310,16 @@ def decompress(blob: bytes, mesh=None) -> bytes:
         sh = NamedSharding(mesh, P(axis))
         words = jax.device_put(words, sh)
         seg_dev = jax.device_put(seg_dev, sh)
-    out = _decode_blocks(words, seg_dev, steps)
+        prior_dev = jax.device_put(prior_dev, NamedSharding(mesh, P()))
+    return words, seg_dev, prior_dev, steps, seg, total_len, nblocks
+
+
+def decompress(blob: bytes, mesh=None) -> bytes:
+    """Batched device decode of an NLZC container (see stage_container)."""
+    words, seg_dev, prior_dev, steps, seg, total_len, B = stage_container(blob, mesh)
+    if not B:
+        return b""
+    out = _decode_blocks(words, seg_dev, prior_dev, steps)
     out_np = np.asarray(out)[:B]  # [B, steps, LANES]
 
     res = bytearray()
@@ -233,9 +331,13 @@ def decompress(blob: bytes, mesh=None) -> bytes:
     return bytes(res[:total_len])
 
 
-def _decode_blocks(words, seg_lens, steps: int):
+def _decode_blocks(words, seg_lens, prior, steps: int):
     """Device scan: decode all blocks' lanes in lockstep -> bytes
-    [B, steps, LANES]."""
+    [B, steps, LANES].
+
+    Table lookups are f32 one-hot contractions (exact for fences
+    <= 2^14 << 2^24) so row selection rides the MXU; counts stay i32.
+    """
     from functools import partial
 
     import jax
@@ -243,24 +345,24 @@ def _decode_blocks(words, seg_lens, steps: int):
 
     _I32 = jnp.int32
     _U32 = jnp.uint32
+    f32 = jnp.float32
     B, W = words.shape
     L = LANES
     win_words = (2 * L * 2) // 4 + 2
 
-    uniform = np.zeros(17, np.int32)
-    uniform[1:] = np.arange(1, 17) * (CDF_SCALE_TOTAL // 16)
-    tables0 = jnp.broadcast_to(jnp.asarray(uniform), (B, ROWS, 17)).astype(_I32)
-
-    def build_jnp(carry):
-        carry = carry + BLEND
-        tot = jnp.sum(carry, axis=-1, keepdims=True)
-        freq = 1 + (carry * (CDF_SCALE_TOTAL - 16)) // (tot + 1)
+    def build_jnp(carry, prior_r):
+        """Mirror of build_cdf(_effective_counts(carry) + BLEND)."""
+        gs = jnp.sum(carry.reshape(B, ROWS // GROUP, GROUP, 16), axis=2)
+        gs = jnp.repeat(gs, GROUP, axis=1)
+        eff = carry + gs // 2 + PRIOR_W * prior_r[None] + BLEND
+        tot = jnp.sum(eff, axis=-1, keepdims=True)
+        freq = 1 + (eff * (CDF_SCALE_TOTAL - 16)) // (tot + 1)
         fences = jnp.cumsum(freq, axis=-1)[..., :-1]
         return jnp.concatenate(
             [
-                jnp.zeros(carry.shape[:-1] + (1,), _I32),
+                jnp.zeros(eff.shape[:-1] + (1,), _I32),
                 fences,
-                jnp.full(carry.shape[:-1] + (1,), CDF_SCALE_TOTAL, _I32),
+                jnp.full(eff.shape[:-1] + (1,), CDF_SCALE_TOTAL, _I32),
             ],
             axis=-1,
         )
@@ -269,8 +371,8 @@ def _decode_blocks(words, seg_lens, steps: int):
 
     def read_one(x, cursor, win, win_base, tables, counts, row, a):
         f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
-        row_oh = jax.nn.one_hot(row, ROWS, dtype=_I32)
-        tbl = jnp.einsum("blr,brw->blw", row_oh, tables)
+        row_oh = jax.nn.one_hot(row, ROWS, dtype=f32)
+        tbl = jnp.einsum("blr,brw->blw", row_oh, tables.astype(f32)).astype(_I32)
         cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)
         dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]
         y = jnp.sum(cmp, axis=2)
@@ -294,11 +396,9 @@ def _decode_blocks(words, seg_lens, steps: int):
         cursor = cursor + 2 * jnp.sum(renorm.astype(_I32), axis=1)
 
         y = jnp.where(a, y, 0)
-        y16a = y16 * a.astype(_I32)[:, :, None]
-        counts = counts + jnp.einsum("blr,bls->brs", row_oh, y16a)
+        y16a = (y16 * a.astype(_I32)[:, :, None]).astype(f32)
+        counts = counts + jnp.einsum("blr,bls->brs", row_oh, y16a).astype(_I32)
         return y, x, cursor, counts
-
-    lane_iota = jnp.arange(L, dtype=_I32)
 
     def step_body(carry, a):
         x, cursor, prev, prev2, th, tl, ch, cl = carry
@@ -307,9 +407,9 @@ def _decode_blocks(words, seg_lens, steps: int):
             words, jnp.clip(base[:, None] + widx[None, :], 0, W - 1), axis=1
         )
         win_base = base << 2
-        r0 = ((prev >> 4) << 2) | (prev2 >> 6)
+        r0 = (prev << 1) | (prev2 >> 7)
         hi, x, cursor, ch = read_one(x, cursor, win, win_base, th, ch, r0, a)
-        r1 = (hi << 2) | (prev >> 6)
+        r1 = (hi << 5) | (prev >> 3)
         lo, x, cursor, cl = read_one(x, cursor, win, win_base, tl, cl, r1, a)
         byte = (hi << 4) | lo
         prev2 = jnp.where(a, prev, prev2)
@@ -326,7 +426,11 @@ def _decode_blocks(words, seg_lens, steps: int):
         )
         carry_h = (carry_h >> 1) + ch
         carry_l = (carry_l >> 1) + cl
-        return (x, cursor, prev, prev2, build_jnp(carry_h), build_jnp(carry_l), carry_h, carry_l), ys
+        return (
+            x, cursor, prev, prev2,
+            build_jnp(carry_h, prior[0]), build_jnp(carry_l, prior[1]),
+            carry_h, carry_l,
+        ), ys
 
     @partial(jax.jit, static_argnames=("steps",))
     def run(words_, seg_lens_, steps: int):
@@ -335,8 +439,14 @@ def _decode_blocks(words, seg_lens, steps: int):
         seeds = words_[:, :L].astype(_U32)
         cursor0 = jnp.full((B,), 4 * L, _I32)
         prev0 = jnp.zeros((B, L), _I32)
+        tables0 = jnp.broadcast_to(
+            build_jnp(jnp.zeros((B, ROWS, 16), _I32), prior[0])[:1], (B, ROWS, 17)
+        )
+        tables0_l = jnp.broadcast_to(
+            build_jnp(jnp.zeros((B, ROWS, 16), _I32), prior[1])[:1], (B, ROWS, 17)
+        )
         carry = (
-            seeds, cursor0, prev0, prev0, tables0, tables0,
+            seeds, cursor0, prev0, prev0, tables0, tables0_l,
             jnp.zeros((B, ROWS, 16), _I32), jnp.zeros((B, ROWS, 16), _I32),
         )
         schedule = chunk_schedule(steps)

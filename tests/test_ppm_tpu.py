@@ -1,4 +1,4 @@
-"""Batched TPU PPM-class codec (segment-parallel order-1) round trips."""
+"""Batched TPU PPM-class codec (segment-parallel, v3 container prior) round trips."""
 
 import pytest
 
@@ -16,7 +16,7 @@ def test_roundtrip_text_multiblock(corpus_text):
     data = corpus_text(20000)
     blob = ppm_tpu.compress(data, block_size=8192)
     assert ppm_tpu.decompress(blob) == data
-    # order-1 context mixing compresses text despite lane parallelism
+    # context mixing compresses text despite lane parallelism
     assert len(blob) < len(data) * 0.8
 
 
@@ -27,8 +27,8 @@ def test_roundtrip_random(corpus_samples):
     assert len(blob) < len(data) * 1.15
 
 
-def test_order2_mesh_sharded_decode(corpus_text):
-    """Order-2 NLZC decodes block-sharded on the virtual device mesh."""
+def test_mesh_sharded_decode(corpus_text):
+    """NLZC v3 (with shipped prior) decodes block-sharded on the virtual device mesh."""
     import jax
     import numpy as np
     from jax.sharding import Mesh

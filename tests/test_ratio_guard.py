@@ -152,3 +152,17 @@ def test_ratio_evidence_at_scale(oracle_runner):
     osz = _oracle_size(oracle_runner, data, 15)
     assert len(v1) < osz * 1.11  # measured 1.085
     assert len(wide) < osz * 1.25  # measured 1.224
+
+
+def test_nlzc_ratio_with_prior(mixed_corpus):
+    """NLZC v3 (container prior + 512-row contexts): ratio <= 0.65 on the
+    bench mix (round-2 order-2 measured 0.687; v3 measured 0.6360 at
+    1 MiB). Reference anchor: PPMd var.I order-6 gets 0.337 on this mix
+    (BASELINE.md) - NLZC trades ratio for lane/block-parallel decode."""
+    from nlzm_tpu.research import ppm_tpu
+
+    import bench
+
+    data = bench.build_corpus(1 << 20)
+    blob = ppm_tpu.compress(data)
+    assert len(blob) / len(data) < 0.65  # measured 0.6360
