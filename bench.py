@@ -116,6 +116,67 @@ def main() -> None:
     emit("host_wide_encode_throughput", n / enc_secs / 1e6, "MB/s",
          (n / enc_secs / 1e6) / 1.8)
 
+    # ---- device wide plane encode (ops/wide_encode_dev.py) ----
+    # Times the on-chip stage (chunk-table simulation + backward rANS)
+    # with inputs pre-staged in HBM and completion forced by a checksum
+    # fetch - same convention as the decode metric below. Byte-parity of
+    # the full device payloads vs the host encoder is asserted untimed
+    # on a 1 MiB slice (the relay's 12 MB/s D2H would otherwise dominate
+    # an end-to-end pull; tests/test_wide.py holds the full four-way
+    # differential).
+    from nlzm_tpu import native as _native
+
+    if _native.available():
+        from nlzm_tpu.format import wide as _wide
+        from nlzm_tpu.ops.wide_encode_dev import (
+            encode_wide_blocks_tpu, plane_encode)
+
+        op_len, op_val = _native.parse_blocks(data, BLOCK_SIZE, 15)
+        op_len = np.ascontiguousarray(op_len, np.int32)
+        op_val = np.ascontiguousarray(op_val, np.int32)
+        _native.lift_deep(op_len, op_val, BLOCK_SIZE)
+        op_rep = _native.classify_reps(op_len, op_val)
+        t0 = time.time()
+        _pb, batched, _pc = _wide.batch_plane_arrays(op_len, op_val, op_rep)
+        priors = _wide.build_priors_from_batched(batched)
+        staged_enc = []
+        for i, spec in enumerate(_wide.PLANES):
+            syms_p, rows_p, counts, _ = batched[spec.name]
+            steps = syms_p[0].shape[1] // spec.lanes
+            prior = tuple(
+                jnp.asarray(np.pad(
+                    np.asarray(priors[spec.name][r], np.int32),
+                    ((0, 0), (0, 16 - spec.alphabets[r]))))
+                for r in range(spec.reads))
+            staged_enc.append((
+                tuple(jnp.asarray(s, jnp.int32) for s in syms_p),
+                tuple(jnp.asarray(s, jnp.int32) for s in rows_p),
+                jnp.asarray(counts, jnp.int32), i, steps, prior))
+        enc_staging = time.time() - t0
+
+        def run_enc():
+            acc = jnp.zeros((), jnp.uint32)
+            for syms, rows, nsym, i, steps, prior in staged_enc:
+                seeds, pa, ma = plane_encode(syms, rows, nsym, i, steps, prior)
+                acc = (acc + jnp.sum(seeds)
+                       + jnp.sum((pa * ma).astype(jnp.uint32)))
+            float(np.asarray(acc).astype(np.float64))
+
+        run_enc()  # compile
+        small = data[: 1 << 20]
+        ol2, ov2 = _native.parse_blocks(small, BLOCK_SIZE, 15)
+        ol2 = np.ascontiguousarray(ol2, np.int32)
+        ov2 = np.ascontiguousarray(ov2, np.int32)
+        _native.lift_deep(ol2, ov2, BLOCK_SIZE)
+        or2 = _native.classify_reps(ol2, ov2)
+        ph, bh = _wide.encode_wide_blocks(ol2, ov2, or2)
+        pd, bd = encode_wide_blocks_tpu(ol2, ov2, or2)
+        assert ph == pd and bh == bd, "device wide encode parity mismatch"
+        enc_best = best_of(run_enc)
+        emit("tpu_wide_encode_throughput", n / enc_best / 1e6, "MB/s",
+             (n / enc_best / 1e6) / 1.8,
+             staging_ms=round(enc_staging * 1e3, 1))
+
     # ---- wide profile: staged decode with per-stage breakdown ----
     t_stage0 = time.time()
     info = parse_container(container)

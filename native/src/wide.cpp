@@ -25,7 +25,7 @@ using i64 = int64_t;
 
 constexpr int kScaleBits = 14;
 constexpr i64 kScale = 1 << kScaleBits;
-constexpr int kChunkSteps = 16;
+constexpr int kChunkSteps = 4;
 constexpr int kWarmup[4] = {2, 2, 4, 8};
 constexpr int kPriorRowBudget = 256;
 
@@ -35,12 +35,13 @@ struct PlaneSpec {
   int alph[2];
   int rows[2];
 };
+// wire format v2: 4x round-2 lanes (see format/wide.py PLANES note)
 constexpr PlaneSpec kPlanes[5] = {
-    {"tok", 32, 1, {4, 0}, {1, 0}},
-    {"lit", 32, 2, {16, 16}, {1, 16}},
-    {"len", 16, 1, {8, 0}, {1, 0}},
-    {"lex", 8, 2, {16, 16}, {1, 16}},
-    {"dst", 16, 2, {8, 8}, {4, 32}},
+    {"tok", 128, 1, {4, 0}, {1, 0}},
+    {"lit", 128, 2, {16, 16}, {1, 16}},
+    {"len", 64, 1, {8, 0}, {1, 0}},
+    {"lex", 32, 2, {16, 16}, {1, 16}},
+    {"dst", 64, 2, {8, 8}, {4, 32}},
 };
 constexpr int kNPlanes = 5;
 

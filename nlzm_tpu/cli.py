@@ -46,8 +46,11 @@ def main(argv=None) -> int:
     engine = "auto"
     verbose = False
 
-    while argv and argv[0].startswith("-"):
-        arg = argv.pop(0).lstrip("-").lower()
+    # flags are accepted anywhere in argv (before or after the command)
+    flags = [a for a in argv if a.startswith("-")]
+    argv = [a for a in argv if not a.startswith("-")]
+    for raw in flags:
+        arg = raw.lstrip("-").lower()
         if arg == "v":
             verbose = True
         elif arg.startswith("window:"):

@@ -18,7 +18,7 @@ TPU-first redesign of the same command stream:
   The rANS math is identical to the reference's (NLZM.cpp:444-488):
   14-bit CDFs, 16-bit renorm, 4-byte little-endian lane seeds.
 - **Chunked semi-adaptive CDFs.** Tables are static within a chunk
-  (warmup schedule 2/2/4/8 steps, then every CHUNK_STEPS=16) and rebuilt
+  (warmup schedule 2/2/4/8 steps, then every CHUNK_STEPS=4) and rebuilt
   from realized symbol counts at chunk boundaries (carry halved each
   boundary). Encoder and decoder run the same
   deterministic rebuild, so no tables are transmitted. This trades the
@@ -57,7 +57,7 @@ import numpy as np
 
 from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
 
-CHUNK_STEPS = 16  # steady-state table rebuild cadence (in scan steps)
+CHUNK_STEPS = 4  # steady-state table rebuild cadence (in scan steps)
 WARMUP_CHUNKS = (2, 2, 4, 8)  # short early chunks: fast model warmup
 
 
@@ -97,12 +97,22 @@ class PlaneSpec:
 
 # read-0 row: 0 everywhere except dst (= lc); read-1 row: lit/lex: y0,
 # dst: lc*8 + y0
+# Lane counts are a throughput/ratio knob: steps per scan shrink with L
+# while chunk adaptation coarsens (chunk_syms = CHUNK_STEPS * L).
+# Wire v2 = 4x the round-2 lanes (scan steps / 4) with CHUNK_STEPS
+# dropped 16 -> 4 so the per-SYMBOL rebuild cadence stays the round-2
+# granularity. Measured cost of the 1.7 KB/block of extra lane seeds
+# (416 lanes x 4 B, irreducible rANS state flushes): on the 16 MiB
+# non-periodic corpus at 32 KiB blocks, wide+dict 0.4652 -> 0.4946
+# (+6.3%); at 128 KiB blocks 0.4342 -> 0.4525 (+4.2%); on the periodic
+# perf mix wide/v1 1.1277 -> 1.2221. Paid for scan steps / 4 on the
+# decode hot path (scans were ~50% of on-chip time at v1 lanes).
 PLANES = (
-    PlaneSpec("tok", 32, 1, (4,), (1,)),
-    PlaneSpec("lit", 32, 2, (16, 16), (1, 16)),
-    PlaneSpec("len", 16, 1, (8,), (1,)),
-    PlaneSpec("lex", 8, 2, (16, 16), (1, 16)),
-    PlaneSpec("dst", 16, 2, (8, 8), (4, 32)),
+    PlaneSpec("tok", 128, 1, (4,), (1,)),
+    PlaneSpec("lit", 128, 2, (16, 16), (1, 16)),
+    PlaneSpec("len", 64, 1, (8,), (1,)),
+    PlaneSpec("lex", 32, 2, (16, 16), (1, 16)),
+    PlaneSpec("dst", 64, 2, (8, 8), (4, 32)),
 )
 N_PLANES = len(PLANES)
 HDR_BYTES = 8 * N_PLANES + 4
@@ -494,6 +504,23 @@ def encode_wide_block(op_len, op_val, op_rep) -> bytes:
     op_val = np.asarray(op_val, np.int64)[:, None]
     op_rep = np.asarray(op_rep, np.int64)[:, None]
     return encode_wide_blocks(op_len, op_val, op_rep, with_priors=False)[0][0]
+
+
+def empty_payload() -> bytes:
+    """Format-valid payload of a zero-command block (mesh padding).
+
+    Zero symbol counts still require each plane's 4*L seed bytes (the
+    decoder stages seeds unconditionally; an all-zero header would make
+    the streams shorter than the seed region).
+    """
+    out = bytearray()
+    for spec in PLANES:
+        out += (0).to_bytes(4, "big")
+        out += (4 * spec.lanes).to_bytes(4, "big")
+    out += (0).to_bytes(4, "big")  # bits_len; nc=1 per plane -> no deltas
+    for spec in PLANES:
+        out += bytes(4 * spec.lanes)
+    return bytes(out)
 
 
 def parse_payload(payload: bytes):

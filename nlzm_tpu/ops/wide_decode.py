@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
-from ..format.wide import CHUNK_STEPS, PLANES
+from ..format.wide import PLANES
 from .sort_gather import (
     PACK_MAX,
     compact_by_rank,
@@ -249,14 +249,16 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
 # the assembled lc context). Stream consumption per plane is unchanged
 # byte-for-byte: each plane keeps its own window, cursor and chunk
 # schedule prefix.
-_P1_L = (32, 32, 16, 8)  # tok, lit, len, lex lanes
-_P1_BASE = (0, 32, 64, 80)
-_P1_LTOT = 88
-_P1_ALPH = (4, 16, 8, 16)
-_P1_BOUNDS = tuple(
-    (b, b + l) for b, l in zip(_P1_BASE, _P1_L)
-)
-_R1_BOUNDS = ((0, 32), (32, 40))  # lit, lex segments of the read-1 subset
+_P1_L = tuple(PLANES[i].lanes for i in range(4))  # tok, lit, len, lex
+_P1_BASE = tuple(int(np.cumsum((0,) + _P1_L)[i]) for i in range(4))
+_P1_LTOT = sum(_P1_L)
+_P1_ALPH = tuple(PLANES[i].alphabets[0] for i in range(4))
+_P1_BOUNDS = tuple((b, b + l) for b, l in zip(_P1_BASE, _P1_L))
+# read-1 subset: lit lanes then lex lanes
+_LIT_SL = (_P1_BASE[1], _P1_BASE[1] + _P1_L[1])
+_LEX_SL = (_P1_BASE[3], _P1_BASE[3] + _P1_L[3])
+_R1_LTOT = _P1_L[1] + _P1_L[3]
+_R1_BOUNDS = ((0, _P1_L[1]), (_P1_L[1], _R1_LTOT))  # lit, lex segments
 
 
 def _seg_ranks(renorm, bounds):
@@ -314,13 +316,16 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         + jnp.asarray(lane_off)[None, None, :]
     ) < nsym_lane[None, :, :]  # [steps, B, 88]
 
-    # read-1 static metadata: lit lanes 32:64 (rows 0..15), lex lanes
-    # 80:88 (rows 16..31) of the stacked read-1 tables
+    # read-1 static metadata: lit lanes (rows 0..15) then lex lanes
+    # (rows 16..31) of the stacked read-1 tables
     r1_row_base = jnp.asarray(
-        np.concatenate([np.zeros(32, np.int32), np.full(8, 16, np.int32)])
+        np.concatenate([np.zeros(_P1_L[1], np.int32), np.full(_P1_L[3], 16, np.int32)])
     )
     r1_base_w = jnp.asarray(
-        np.concatenate([np.full(32, base_w[1], np.int32), np.full(8, base_w[3], np.int32)])
+        np.concatenate([
+            np.full(_P1_L[1], base_w[1], np.int32),
+            np.full(_P1_L[3], base_w[3], np.int32),
+        ])
     )
 
     def fetch_pairs(win3, h):
@@ -356,10 +361,10 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             # ---- read 0: all 88 lanes, static per-lane single-row tables
             tbl0 = jnp.concatenate(
                 [
-                    jnp.broadcast_to(t_tok0, (B, 32, 17)),
-                    jnp.broadcast_to(t_lit0, (B, 32, 17)),
-                    jnp.broadcast_to(t_len0, (B, 16, 17)),
-                    jnp.broadcast_to(t_lex0, (B, 8, 17)),
+                    jnp.broadcast_to(t_tok0, (B, _P1_L[0], 17)),
+                    jnp.broadcast_to(t_lit0, (B, _P1_L[1], 17)),
+                    jnp.broadcast_to(t_len0, (B, _P1_L[2], 17)),
+                    jnp.broadcast_to(t_lex0, (B, _P1_L[3], 17)),
                 ],
                 axis=1,
             )
@@ -376,15 +381,18 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             rels = rels + jnp.stack(totals, axis=1)
             y = jnp.where(active, y, 0)
             y16a = y16 * active.astype(_I32)[:, :, None]
-            c_tok0 = c_tok0 + jnp.sum(y16a[:, 0:32], axis=1)[:, None, :]
-            c_lit0 = c_lit0 + jnp.sum(y16a[:, 32:64], axis=1)[:, None, :]
-            c_len0 = c_len0 + jnp.sum(y16a[:, 64:80], axis=1)[:, None, :]
-            c_lex0 = c_lex0 + jnp.sum(y16a[:, 80:88], axis=1)[:, None, :]
+            c_tok0 = c_tok0 + jnp.sum(y16a[:, _P1_BOUNDS[0][0]:_P1_BOUNDS[0][1]], axis=1)[:, None, :]
+            c_lit0 = c_lit0 + jnp.sum(y16a[:, _P1_BOUNDS[1][0]:_P1_BOUNDS[1][1]], axis=1)[:, None, :]
+            c_len0 = c_len0 + jnp.sum(y16a[:, _P1_BOUNDS[2][0]:_P1_BOUNDS[2][1]], axis=1)[:, None, :]
+            c_lex0 = c_lex0 + jnp.sum(y16a[:, _P1_BOUNDS[3][0]:_P1_BOUNDS[3][1]], axis=1)[:, None, :]
 
             # ---- read 1: lit + lex lanes only (40), rows from read-0 y
-            x40 = jnp.concatenate([x[:, 32:64], x[:, 80:88]], axis=1)
-            act40 = jnp.concatenate([active[:, 32:64], active[:, 80:88]], axis=1)
-            y040 = jnp.concatenate([y[:, 32:64], y[:, 80:88]], axis=1)
+            x40 = jnp.concatenate(
+                [x[:, _LIT_SL[0]:_LIT_SL[1]], x[:, _LEX_SL[0]:_LEX_SL[1]]], axis=1)
+            act40 = jnp.concatenate(
+                [active[:, _LIT_SL[0]:_LIT_SL[1]], active[:, _LEX_SL[0]:_LEX_SL[1]]], axis=1)
+            y040 = jnp.concatenate(
+                [y[:, _LIT_SL[0]:_LIT_SL[1]], y[:, _LEX_SL[0]:_LEX_SL[1]]], axis=1)
             row40 = r1_row_base[None, :] + y040
             t1 = jnp.concatenate([t_lit1, t_lex1], axis=1)  # [B, 32, 17]
             row_oh = jax.nn.one_hot(row40, 32, dtype=f32)
@@ -401,7 +409,8 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             rel_lit = rels[:, 1:2]
             rel_lex = rels[:, 3:4]
             rel40 = jnp.concatenate(
-                [jnp.broadcast_to(rel_lit, (B, 32)), jnp.broadcast_to(rel_lex, (B, 8))],
+                [jnp.broadcast_to(rel_lit, (B, _P1_L[1])),
+                 jnp.broadcast_to(rel_lex, (B, _P1_L[3]))],
                 axis=1,
             )
             h1 = jnp.clip(r1_base_w[None, :] + rel40 + rank1, 0, WHc - 1)
@@ -409,7 +418,8 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             x3b = jnp.where(renorm1, (x2b << 16) | pair1, x2b)
             x40 = jnp.where(act40, x3b, x40)
             x = jnp.concatenate(
-                [x[:, 0:32], x40[:, 0:32], x[:, 64:80], x40[:, 32:40]], axis=1
+                [x[:, 0:_P1_BASE[1]], x40[:, 0:_P1_L[1]],
+                 x[:, _P1_BASE[2]:_P1_BASE[3]], x40[:, _P1_L[1]:_R1_LTOT]], axis=1
             )
             rels = rels + jnp.stack(
                 [jnp.zeros((B,), _I32), totals1[0], jnp.zeros((B,), _I32), totals1[1]],
@@ -481,20 +491,20 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         win_x = wins_cat[c0 : c0 + count]
         carry, (ys0, ys1) = jax.lax.scan(chunk_body, carry, (act_x, win_x))
         ys0_parts.append(ys0.reshape(count * clen, B, _P1_LTOT))
-        ys1_parts.append(ys1.reshape(count * clen, B, 40))
+        ys1_parts.append(ys1.reshape(count * clen, B, _R1_LTOT))
         t0 += clen * count
         c0 += count
 
     y0 = jnp.concatenate(ys0_parts, axis=0).transpose(1, 0, 2)  # [B, steps, 88]
-    y1 = jnp.concatenate(ys1_parts, axis=0).transpose(1, 0, 2)  # [B, steps, 40]
+    y1 = jnp.concatenate(ys1_parts, axis=0).transpose(1, 0, 2)  # [B, steps, R1]
     out = []
     # (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
-    out.append(y0[:, :, 0:32].reshape(B, steps * 32))
-    out.append(y0[:, :, 32:64].reshape(B, steps * 32))
-    out.append(y1[:, :, 0:32].reshape(B, steps * 32))
-    out.append(y0[:, :, 64:80].reshape(B, steps * 16))
-    out.append(y0[:, :, 80:88].reshape(B, steps * 8))
-    out.append(y1[:, :, 32:40].reshape(B, steps * 8))
+    out.append(y0[:, :, _P1_BOUNDS[0][0]:_P1_BOUNDS[0][1]].reshape(B, steps * _P1_L[0]))
+    out.append(y0[:, :, _P1_BOUNDS[1][0]:_P1_BOUNDS[1][1]].reshape(B, steps * _P1_L[1]))
+    out.append(y1[:, :, 0:_P1_L[1]].reshape(B, steps * _P1_L[1]))
+    out.append(y0[:, :, _P1_BOUNDS[2][0]:_P1_BOUNDS[2][1]].reshape(B, steps * _P1_L[2]))
+    out.append(y0[:, :, _P1_BOUNDS[3][0]:_P1_BOUNDS[3][1]].reshape(B, steps * _P1_L[3]))
+    out.append(y1[:, :, _P1_L[1]:_R1_LTOT].reshape(B, steps * _P1_L[3]))
     return tuple(out)
 
 

@@ -86,13 +86,13 @@ def decode_wide_sharded(data: bytes, mesh: Mesh) -> bytes:
 
     payloads = block_payloads(data, info)
     n_dev = mesh.devices.size
-    # pad with empty blocks so B divides the mesh (an all-zero header
-    # decodes as an empty block)
+    # pad with zero-command blocks so B divides the mesh
     n_blocks = len(payloads)
-    from ..format.wide import HDR_BYTES
+    from ..format.wide import empty_payload
 
+    pad_payload = empty_payload()
     while len(payloads) % n_dev:
-        payloads.append(b"\x00" * HDR_BYTES)
+        payloads.append(pad_payload)
 
     staged = prepare_wide(payloads, info.wide_priors)
     from ..ops.wide_decode import rounds_hint_of

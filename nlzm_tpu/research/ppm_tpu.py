@@ -47,7 +47,31 @@ batched formulation; the order-6 host codec remains the ratio reference
 import numpy as np
 
 from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
-from ..format.wide import build_cdf, chunk_schedule, padded_steps
+from ..format.wide import build_cdf
+
+# NLZC's own adaptation cadence (decoupled from the wide profile's,
+# which retunes as its lane counts evolve): rebuild every 16 steps after
+# a 2/2/4/8-step warmup.
+CHUNK_STEPS = 16
+WARMUP_CHUNKS = (2, 2, 4, 8)
+
+
+def chunk_schedule(steps_needed: int) -> tuple:
+    sched, total = [], 0
+    for w in WARMUP_CHUNKS:
+        sched.append(w)
+        total += w
+        if total >= steps_needed:
+            return tuple(sched)
+    while total < steps_needed:
+        sched.append(CHUNK_STEPS)
+        total += CHUNK_STEPS
+    return tuple(sched)
+
+
+def padded_steps(n_sym: int, lanes: int) -> int:
+    need = max(1, -(-n_sym // lanes))
+    return sum(chunk_schedule(need))
 
 MAGIC = b"NLZC"
 VERSION = 3  # v3: 512-row full-prev contexts + container prior + backoff

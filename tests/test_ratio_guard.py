@@ -14,12 +14,15 @@ Two corpora, two regimes:
 Margins are ~2% over measured values so regressions fail CI rather than
 drifting silently.
 
-Measured (round 3, 16 MiB non-periodic, oracle w20 = 0.3687):
+Measured (round 3, 16 MiB non-periodic, oracle w20 = 0.3687; wide wire
+v2 = lanes x4, whose 1.7 KB/block of lane seeds cost ~+6% at 32 KiB
+blocks, bought for scan steps / 4 on device decode):
   v1 32K blocks 0.4534 (1.230x oracle)
-  wide 32K blocks + 32K dict 0.4652 (1.262x)
-  wide 32K blocks no dict 0.5043 (1.368x) - the dict is worth -7.8%
-  wide 128K blocks + 64K dict 0.4342 (1.178x)
-Measured (round 2, periodic 256 KiB): v1 0.5536, wide/v1 1.1408.
+  wide 32K blocks + 32K dict 0.4946 (1.342x; wire v1 lanes was 1.262x)
+  wide 32K blocks no dict 0.5691 (1.544x) - the dict is worth -13%
+  wide 128K blocks + 64K dict 0.4525 (1.227x; v1 lanes was 1.178x)
+Measured (periodic): 256 KiB v1 0.5536, wide/v1 1.2359 (v1 lanes
+1.1408); 64 MiB v1 0.5540, wide/v1 1.2221 (v1 lanes 1.1277).
 """
 
 import pytest
@@ -76,7 +79,7 @@ def test_window20_oracle_delta_nonperiodic(oracle_w20_size, nonperiodic16):
         data, block_size=32768, parser="optimal", profile="wide", dict_size=32768
     )
     assert len(v1) < oracle_w20_size * 1.26  # measured 1.230
-    assert len(wide_dict) < oracle_w20_size * 1.29  # measured 1.262
+    assert len(wide_dict) < oracle_w20_size * 1.37  # measured 1.342 (wire v2)
 
 
 def test_big_block_dict_delta_nonperiodic(oracle_w20_size, nonperiodic16):
@@ -90,7 +93,7 @@ def test_big_block_dict_delta_nonperiodic(oracle_w20_size, nonperiodic16):
         nonperiodic16, block_size=131072, parser="optimal", profile="wide",
         dict_size=65536,
     )
-    assert len(wide) < oracle_w20_size * 1.21  # measured 1.178
+    assert len(wide) < oracle_w20_size * 1.26  # measured 1.227 (wire v2)
 
 
 def _oracle_size(oracle_runner, data, window_bits):
@@ -117,9 +120,9 @@ def test_wide_ratio_within_budget(mixed_corpus):
     wide = encode_container(
         mixed_corpus, block_size=32768, parser="optimal", profile="wide"
     )
-    # measured 1.1408 (chunked adaptation + plane seeds + chunk tables;
-    # fixed per-block overheads weigh more at this small size)
-    assert len(wide) < len(v1) * 1.165
+    # measured 1.2359 at wire v2 (chunked adaptation + the x4 lane
+    # seeds; fixed per-block overheads weigh more at this small size)
+    assert len(wide) < len(v1) * 1.26
 
 
 def test_oracle_delta_per_profile(oracle_runner, mixed_corpus):
@@ -134,8 +137,8 @@ def test_oracle_delta_per_profile(oracle_runner, mixed_corpus):
     wide = encode_container(
         mixed_corpus, block_size=32768, parser="optimal", profile="wide"
     )
-    assert len(v1) < osz * 1.13  # measured 1.096 at 256 KiB
-    assert len(wide) < osz * 1.29  # measured 1.25 at 256 KiB
+    assert len(v1) < osz * 1.13  # measured 1.074 at 256 KiB
+    assert len(wide) < osz * 1.36  # measured 1.327 at 256 KiB (wire v2)
 
 
 @pytest.mark.slow
@@ -148,10 +151,10 @@ def test_ratio_evidence_at_scale(oracle_runner):
     v1 = encode_container(data, block_size=32768, parser="optimal")
     wide = encode_container(data, block_size=32768, parser="optimal", profile="wide")
     assert len(v1) / len(data) < 0.565  # measured 0.5540
-    assert len(wide) < len(v1) * 1.15  # measured 1.1277
+    assert len(wide) < len(v1) * 1.25  # measured 1.2221 (wire v2)
     osz = _oracle_size(oracle_runner, data, 15)
     assert len(v1) < osz * 1.11  # measured 1.085
-    assert len(wide) < osz * 1.25  # measured 1.224
+    assert len(wide) < osz * 1.36  # measured 1.326 (wire v2)
 
 
 def test_nlzc_ratio_with_prior(mixed_corpus):

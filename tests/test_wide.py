@@ -102,8 +102,9 @@ def test_wide_container_text(corpus_text):
     data = corpus_text(70000)
     c = encode_container(data, block_size=32768, parser="optimal", profile="wide")
     assert decode_container(c) == data
-    # throughput profile still compresses text substantially
-    assert len(c) < len(data) * 0.55
+    # throughput profile still compresses text substantially (v2 lanes
+    # carry ~1.7 KB/block of seeds - noticeable at this tiny size only)
+    assert len(c) < len(data) * 0.58
 
 
 def test_wide_empty():
