@@ -144,9 +144,7 @@ def main() -> None:
             syms_p, rows_p, counts, _ = batched[spec.name]
             steps = syms_p[0].shape[1] // spec.lanes
             prior = tuple(
-                jnp.asarray(np.pad(
-                    np.asarray(priors[spec.name][r], np.int32),
-                    ((0, 0), (0, 16 - spec.alphabets[r]))))
+                jnp.asarray(np.asarray(priors[spec.name][r], np.int32))
                 for r in range(spec.reads))
             staged_enc.append((
                 tuple(jnp.asarray(s, jnp.int32) for s in syms_p),
@@ -236,26 +234,23 @@ def main() -> None:
             priors_f = None
             if priors:
                 priors_f = (
-                    priors["tok"][0], priors["lit"][0], priors["lit"][1],
-                    priors["len"][0], priors["lex"][0], priors["lex"][1],
+                    priors["tok"][0], priors["lit"][0],
+                    priors["len"][0], priors["lex"][0],
                 )
-            tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = plane_scan_fused(
+            tok_y, lit_y, len_y, lex_y = plane_scan_fused(
                 seeds_f, tuple(wins[i] for i in range(4)), nsyms_f, steps[0],
                 priors_f)
-            tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
-                cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo))
-            pre = assemble_pre_dst(tok_y, n_sym[0], len_y, lex_hi, lex_lo,
-                                   padw(4), big)
+            tok_y, lit_y, len_y, lex_y = map(cap15, (tok_y, lit_y, len_y, lex_y))
+            pre = assemble_pre_dst(tok_y, n_sym[0], len_y, lex_y, padw(4), big)
             is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = pre
-            dst_hi, dst_lo = plane_scan(
-                seeds[4], wins[4], n_sym[4], lc_dict, 4, steps[4], pr("dst"))
-            dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
+            slot_y = cap15(plane_scan(
+                seeds[4], wins[4], n_sym[4], lc_dict, 4, steps[4], pr("dst"))[0])
             if upto == "scans":
-                acc = acc + jnp.sum(dst_hi) + jnp.sum(tok_y) + jnp.sum(lit_lo)
+                acc = acc + jnp.sum(slot_y) + jnp.sum(tok_y) + jnp.sum(lit_y)
                 continue
             op_len, op_val = assemble_post_dst(
                 is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-                lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_half"], n_sym[0],
+                lit_y, slot_y, staged["bit_half"], n_sym[0],
                 big, wide_delta=dict_arr is not None)
             if upto == "assembly":
                 acc = acc + jnp.sum(op_len) + jnp.sum(op_val)

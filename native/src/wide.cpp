@@ -25,7 +25,7 @@ using i64 = int64_t;
 
 constexpr int kScaleBits = 14;
 constexpr i64 kScale = 1 << kScaleBits;
-constexpr int kChunkSteps = 4;
+constexpr int kChunkSteps = 8;
 constexpr int kWarmup[4] = {2, 2, 4, 8};
 constexpr int kPriorRowBudget = 256;
 
@@ -35,13 +35,13 @@ struct PlaneSpec {
   int alph[2];
   int rows[2];
 };
-// wire format v2: 4x round-2 lanes (see format/wide.py PLANES note)
+// wire format v3: single-read joint alphabets (see format/wide.py PLANES)
 constexpr PlaneSpec kPlanes[5] = {
-    {"tok", 128, 1, {4, 0}, {1, 0}},
-    {"lit", 128, 2, {16, 16}, {1, 16}},
-    {"len", 64, 1, {8, 0}, {1, 0}},
-    {"lex", 32, 2, {16, 16}, {1, 16}},
-    {"dst", 64, 2, {8, 8}, {4, 32}},
+    {"tok", 64, 1, {4, 0}, {1, 0}},
+    {"lit", 64, 1, {256, 0}, {1, 0}},
+    {"len", 32, 1, {8, 0}, {1, 0}},
+    {"lex", 16, 1, {256, 0}, {1, 0}},
+    {"dst", 32, 1, {64, 0}, {4, 0}},
 };
 constexpr int kNPlanes = 5;
 
@@ -69,7 +69,7 @@ static int padded_steps(i64 n_sym, int lanes) {
   return tot;
 }
 
-// fences[17] from counts[nsym]; mirrors format.wide.build_cdf
+// fences[nsym + 1] from counts[nsym]; mirrors format.wide.build_cdf
 static void build_cdf(const i64* counts, int nsym, i32* fences) {
   i64 tot = 0;
   for (int i = 0; i < nsym; i++) tot += counts[i];
@@ -80,37 +80,38 @@ static void build_cdf(const i64* counts, int nsym, i32* fences) {
     acc += freq;
     fences[i + 1] = (i32)acc;
   }
-  for (int i = nsym; i <= 16; i++) fences[i] = (i32)kScale;
+  fences[nsym] = (i32)kScale;
 }
 
 // chunk-adaptive table bank for one (plane, read)
 struct Bank {
-  int rows, nsym;
+  int rows, nsym, fw;              // fw = fence width per row (nsym + 1)
   std::vector<i64> carry, counts;  // [rows * nsym]
-  std::vector<i32> fences;         // [rows * 17]
+  std::vector<i32> fences;         // [rows * fw]
 
   void init(int rows_, int nsym_, const i64* prior) {
     rows = rows_;
     nsym = nsym_;
+    fw = nsym_ + 1;
     carry.assign((size_t)rows * nsym, 0);
     counts.assign((size_t)rows * nsym, 0);
-    fences.assign((size_t)rows * 17, 0);
+    fences.assign((size_t)rows * fw, 0);
     if (prior) {
       for (int r = 0; r < rows; r++)
         for (int s = 0; s < nsym; s++) carry[(size_t)r * nsym + s] = prior[(size_t)r * nsym + s];
-      for (int r = 0; r < rows; r++) build_cdf(&carry[(size_t)r * nsym], nsym, &fences[(size_t)r * 17]);
+      for (int r = 0; r < rows; r++) build_cdf(&carry[(size_t)r * nsym], nsym, &fences[(size_t)r * fw]);
     } else {
       i32 step = (i32)(kScale / nsym);
       for (int r = 0; r < rows; r++) {
-        i32* f = &fences[(size_t)r * 17];
+        i32* f = &fences[(size_t)r * fw];
         f[0] = 0;
         for (int i = 1; i <= nsym; i++) f[i] = i * step;
-        for (int i = nsym; i <= 16; i++) f[i] = (i32)kScale;
+        f[nsym] = (i32)kScale;
       }
     }
   }
   inline void span(int row, int y, i32* start, i32* freq) const {
-    const i32* f = &fences[(size_t)row * 17];
+    const i32* f = &fences[(size_t)row * fw];
     *start = f[y];
     *freq = f[y + 1] - f[y];
   }
@@ -120,7 +121,7 @@ struct Bank {
       carry[i] = (carry[i] >> 1) + counts[i];
       counts[i] = 0;
     }
-    for (int r = 0; r < rows; r++) build_cdf(&carry[(size_t)r * nsym], nsym, &fences[(size_t)r * 17]);
+    for (int r = 0; r < rows; r++) build_cdf(&carry[(size_t)r * nsym], nsym, &fences[(size_t)r * fw]);
   }
 };
 
@@ -160,10 +161,8 @@ static void classify_block(const i32* op_len, const i32* op_val, const i32* op_r
       int y = op_val[k];
       tok.sym[0].push_back(0);
       tok.row[0].push_back(0);
-      lit.sym[0].push_back(y >> 4);
+      lit.sym[0].push_back(y);  // joint literal byte (wire v3)
       lit.row[0].push_back(0);
-      lit.sym[1].push_back(y & 15);
-      lit.row[1].push_back(y >> 4);
       continue;
     }
     i64 delta = op_val[k];
@@ -193,10 +192,8 @@ static void classify_block(const i32* op_len, const i32* op_val, const i32* op_r
     len.row[0].push_back(0);
     if (lv >= 7) {
       int ext = (int)(lv - 7);
-      lex.sym[0].push_back(ext >> 4);
+      lex.sym[0].push_back(ext);  // joint extension byte (wire v3)
       lex.row[0].push_back(0);
-      lex.sym[1].push_back(ext & 15);
-      lex.row[1].push_back(ext >> 4);
     }
     int lc = lv < 3 ? (int)lv : 3;
     if (is_rep) {
@@ -210,10 +207,8 @@ static void classify_block(const i32* op_len, const i32* op_val, const i32* op_r
       int ab = big ? nbits - 2 : 0;
       i64 slot = big ? (((i64)(nbits - 1) << 1) + ((dv >> ab) & 1)) : dv;
       i64 extra = dv & (((i64)1 << ab) - 1);
-      dst.sym[0].push_back((int)(slot >> 3));
+      dst.sym[0].push_back((int)slot);  // joint 6-bit slot, lc row (wire v3)
       dst.row[0].push_back(lc);
-      dst.sym[1].push_back((int)(slot & 7));
-      dst.row[1].push_back(lc * 8 + (int)(slot >> 3));
       for (int j = 0; j < ab; j++) bit_seq.push_back((extra >> (ab - 1 - j)) & 1);
     }
   }

@@ -7,10 +7,11 @@ gather-bound (~7 gathered words per command). The wide profile is the
 TPU-first redesign of the same command stream:
 
 - **Planes.** Commands are split into independent symbol sequences:
-  `tok` (literal/dict/rep), `lit` (byte nibbles), `len` (direct length),
-  `lex` (length extension nibbles), `dst` (distance slot nibbles), plus a
-  raw-bit plane (rep index, distance extra bits). Each plane decodes in
-  its own scan with a fixed number of CDF reads per step.
+  `tok` (literal/dict/rep), `lit` (whole literal byte), `len` (direct
+  length), `lex` (length extension byte), `dst` (distance slot, lc
+  context rows), plus a raw-bit plane (rep index, distance extra bits).
+  Every plane is single-read (wire v3): one CDF read and one rANS renorm
+  per symbol, over joint alphabets up to 256.
 - **Lane-parallel rANS.** Each plane interleaves L independent rANS lanes
   (round-robin by symbol). Renorm byte pairs are laid out in exact decode
   order (step, read, lane), so a step fetches ONE contiguous window of
@@ -18,7 +19,7 @@ TPU-first redesign of the same command stream:
   The rANS math is identical to the reference's (NLZM.cpp:444-488):
   14-bit CDFs, 16-bit renorm, 4-byte little-endian lane seeds.
 - **Chunked semi-adaptive CDFs.** Tables are static within a chunk
-  (warmup schedule 2/2/4/8 steps, then every CHUNK_STEPS=4) and rebuilt
+  (warmup schedule 2/2/4/8 steps, then every CHUNK_STEPS=8) and rebuilt
   from realized symbol counts at chunk boundaries (carry halved each
   boundary). Encoder and decoder run the same
   deterministic rebuild, so no tables are transmitted. This trades the
@@ -38,7 +39,7 @@ Block payload layout (big-endian):
         their exclusive prefix sums x2; NC =
         len(chunk_schedule(padded_steps(sym_count, lanes))) is derivable
         from sym_count, so no length prefix; a chunk emits at most
-        lanes x reads x 16 <= 1024 pairs, so u16 is ample)
+        lanes x CHUNK_STEPS <= 512 pairs, so u16 is ample)
     then the 5 plane streams (each: L x u32le lane seeds, then renorm
     pairs in decode order), then the raw-bit plane (MSB-first).
 
@@ -57,7 +58,7 @@ import numpy as np
 
 from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
 
-CHUNK_STEPS = 4  # steady-state table rebuild cadence (in scan steps)
+CHUNK_STEPS = 8  # steady-state table rebuild cadence (in scan steps)
 WARMUP_CHUNKS = (2, 2, 4, 8)  # short early chunks: fast model warmup
 
 
@@ -95,24 +96,31 @@ class PlaneSpec:
         return CHUNK_STEPS * self.lanes
 
 
-# read-0 row: 0 everywhere except dst (= lc); read-1 row: lit/lex: y0,
-# dst: lc*8 + y0
+# Wire v3: every plane is SINGLE-READ over a joint alphabet. lit carries
+# the whole byte (256 symbols: the exact joint of the old hi/lo nibble
+# factorization P(hi) * P(lo|hi)), lex the whole extension byte, dst the
+# whole 6-bit slot conditioned on lc (4 rows: same expressiveness as the
+# old hi/lo split, P(slot|lc) = P(hi|lc) * P(lo|lc,hi)). One read per
+# symbol = ONE rANS renorm per symbol and no read-1 machinery in the
+# decoder's fused scan; the fence compare runs at the joint width
+# against chunk-static tables hoisted out of the step loop.
+#
 # Lane counts are a throughput/ratio knob: steps per scan shrink with L
-# while chunk adaptation coarsens (chunk_syms = CHUNK_STEPS * L).
-# Wire v2 = 4x the round-2 lanes (scan steps / 4) with CHUNK_STEPS
-# dropped 16 -> 4 so the per-SYMBOL rebuild cadence stays the round-2
-# granularity. Measured cost of the 1.7 KB/block of extra lane seeds
-# (416 lanes x 4 B, irreducible rANS state flushes): on the 16 MiB
-# non-periodic corpus at 32 KiB blocks, wide+dict 0.4652 -> 0.4946
-# (+6.3%); at 128 KiB blocks 0.4342 -> 0.4525 (+4.2%); on the periodic
-# perf mix wide/v1 1.1277 -> 1.2221. Paid for scan steps / 4 on the
-# decode hot path (scans were ~50% of on-chip time at v1 lanes).
+# while the rANS seed overhead grows (4 B per lane per block) and chunk
+# adaptation coarsens (chunk_syms = CHUNK_STEPS * L). v3 = 2x the
+# round-2 lanes with CHUNK_STEPS 16 -> 8 (per-symbol rebuild cadence
+# unchanged); 208 lanes x 4 B = 832 B/block of seeds, half of wire v2's.
+# rows: dst read conditions on lc (clip(lv, 0, 3)); all others row 0.
+# Measured (16 MiB non-periodic corpus): wide+dict 0.4746 at 32 KiB
+# blocks (v2 0.4946, round-2 lanes 0.4652), 0.4307 at 128 KiB (v2
+# 0.4525, round-2 0.4342) - the joint alphabets' finer adaptation more
+# than pays back v2's ratio regression while keeping scan steps / 2.
 PLANES = (
-    PlaneSpec("tok", 128, 1, (4,), (1,)),
-    PlaneSpec("lit", 128, 2, (16, 16), (1, 16)),
-    PlaneSpec("len", 64, 1, (8,), (1,)),
-    PlaneSpec("lex", 32, 2, (16, 16), (1, 16)),
-    PlaneSpec("dst", 64, 2, (8, 8), (4, 32)),
+    PlaneSpec("tok", 64, 1, (4,), (1,)),
+    PlaneSpec("lit", 64, 1, (256,), (1,)),
+    PlaneSpec("len", 32, 1, (8,), (1,)),
+    PlaneSpec("lex", 16, 1, (256,), (1,)),
+    PlaneSpec("dst", 32, 1, (64,), (4,)),
 )
 N_PLANES = len(PLANES)
 HDR_BYTES = 8 * N_PLANES + 4
@@ -123,13 +131,15 @@ TOK_LIT, TOK_DICT, TOK_REP = 0, 1, 2
 def build_cdf(counts: np.ndarray, nsym: int) -> np.ndarray:
     """Deterministic fence table from symbol counts.
 
-    counts: [..., nsym] -> fences [..., 17] with fence[0]=0 and
-    fence[nsym..16]=2^14; every symbol keeps freq >= 1 (the last symbol
-    absorbs rounding slack).
+    counts: [..., nsym] -> fences [..., max(nsym, 16) + 1] with
+    fence[0]=0 and fence[nsym..]=2^14; every symbol keeps freq >= 1 (the
+    last symbol absorbs rounding slack). Width floors at 17 for the
+    legacy 16-symbol consumers (research/ppm_tpu).
     """
+    width = max(nsym, 16) + 1
     tot = counts.sum(axis=-1, keepdims=True)
     freq = 1 + (counts * (CDF_SCALE_TOTAL - nsym)) // (tot + 1)
-    fences = np.zeros(counts.shape[:-1] + (17,), np.int32)
+    fences = np.zeros(counts.shape[:-1] + (width,), np.int32)
     np.cumsum(freq, axis=-1, out=fences[..., 1 : nsym + 1])
     fences[..., nsym:] = CDF_SCALE_TOTAL
     return fences
@@ -154,7 +164,7 @@ class _TableBank:
                 self.carry.append(c0.copy())
                 self.tables.append(build_cdf(c0, nsym))
             else:
-                t = np.zeros((B, rows, 17), np.int32)
+                t = np.zeros((B, rows, max(nsym, 16) + 1), np.int32)
                 step = CDF_SCALE_TOTAL // nsym
                 t[..., 1 : nsym + 1] = np.arange(1, nsym + 1) * step
                 t[..., nsym:] = CDF_SCALE_TOTAL
@@ -356,21 +366,18 @@ def _plane_symbol_data(op_len, op_val, op_rep):
     tok = np.where(is_lit, TOK_LIT, np.where(is_rep, TOK_REP, TOK_DICT))
 
     lit_b = op_val[is_lit]
-    lit_hi, lit_lo = lit_b >> 4, lit_b & 15
 
     delta_m = op_val[is_match]
     lv = op_len[is_match] - mmin_of(delta_m)
     assert (lv >= 0).all() and (lv <= 262).all()
     len_sym = np.minimum(lv, 7)
     esc = lv >= 7
-    ext = lv[esc] - 7
-    lex_hi, lex_lo = ext >> 4, ext & 15
+    ext = lv[esc] - 7  # <= 255: one joint extension byte
     lc = np.minimum(lv, 3)
 
     dict_in_m = is_dict[is_match]
     dv = op_val[is_dict] - 1
     slot, ab, extra = dist_slot_of(dv)
-    dst_hi, dst_lo = slot >> 3, slot & 7
     lc_d = lc[dict_in_m]
 
     # raw-bit plane, command order: rep -> 2-bit index; dict -> ab bits
@@ -384,10 +391,10 @@ def _plane_symbol_data(op_len, op_val, op_rep):
     z = np.zeros_like
     return {
         "tok": ([tok], [z(tok)]),
-        "lit": ([lit_hi, lit_lo], [z(lit_hi), lit_hi]),
+        "lit": ([lit_b], [z(lit_b)]),
         "len": ([len_sym], [z(len_sym)]),
-        "lex": ([lex_hi, lex_lo], [z(lex_hi), lex_hi]),
-        "dst": ([dst_hi, dst_lo], [lc_d, lc_d * 8 + dst_hi]),
+        "lex": ([ext], [z(ext)]),
+        "dst": ([slot], [lc_d]),
     }, bits
 
 
@@ -610,6 +617,17 @@ class _PlaneDecoder:
                         continue
                     v = x2[lane]
                     if v < (1 << 16):
+                        if self.pos + 2 > len(self.stream):
+                            # A corrupt pair near the stream tail can flip
+                            # a lane's FINAL refill decision (the renorm
+                            # after its last active symbol, whose state is
+                            # discarded) - the device decoder correctly
+                            # reads a zero window there; the host must not
+                            # crash with a bare IndexError.
+                            raise ValueError(
+                                f"corrupt wide payload: plane {spec.name} "
+                                f"stream exhausted at step {t}"
+                            )
                         b0v = self.stream[self.pos]
                         b1v = self.stream[self.pos + 1]
                         self.pos += 2
@@ -642,15 +660,15 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
     tok = _PlaneDecoder(PLANES[0], streams[0], counts[0], prior_of("tok"), offsets[0]).decode(
         simple_rows(PLANES[0])
     )[0]
-    lit_hi, lit_lo = _PlaneDecoder(PLANES[1], streams[1], counts[1], prior_of("lit"), offsets[1]).decode(
+    lit_b = _PlaneDecoder(PLANES[1], streams[1], counts[1], prior_of("lit"), offsets[1]).decode(
         simple_rows(PLANES[1])
-    )
+    )[0]
     len_sym = _PlaneDecoder(PLANES[2], streams[2], counts[2], prior_of("len"), offsets[2]).decode(
         simple_rows(PLANES[2])
     )[0]
-    lex_hi, lex_lo = _PlaneDecoder(PLANES[3], streams[3], counts[3], prior_of("lex"), offsets[3]).decode(
+    ext = _PlaneDecoder(PLANES[3], streams[3], counts[3], prior_of("lex"), offsets[3]).decode(
         simple_rows(PLANES[3])
-    )
+    )[0]
 
     # assembly (sequential host mirror)
     T = counts[0]
@@ -659,7 +677,6 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
     is_dict = tok == TOK_DICT
     n_match = int((~is_lit).sum())
     esc = len_sym[:n_match] == 7
-    ext = (lex_hi << 4) + lex_lo
     lv = len_sym[:n_match].copy()
     lv[esc] = 7 + ext[: int(esc.sum())]
     lc = np.minimum(lv, 3)
@@ -677,9 +694,9 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
         seg = np.zeros(L, np.int64)
         seg_src = lc_d[lo : lo + L]
         seg[: len(seg_src)] = seg_src
-        return seg if r == 0 else seg * 8 + ys[0]
+        return seg
 
-    dst_hi, dst_lo = _PlaneDecoder(spec_d, streams[4], counts[4], prior_of("dst"), offsets[4]).decode(dst_rows)
+    slot_arr = _PlaneDecoder(spec_d, streams[4], counts[4], prior_of("dst"), offsets[4]).decode(dst_rows)[0]
 
     # raw bits
     bit_arr = np.unpackbits(np.frombuffer(bits, np.uint8))
@@ -689,7 +706,7 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
     hist = [1, 2, 3, 4]
     for k in range(T):
         if is_lit[k]:
-            op_val[k] = (lit_hi[lit_i] << 4) | lit_lo[lit_i]
+            op_val[k] = lit_b[lit_i]
             lit_i += 1
             continue
         this_lv = lv[m_i]
@@ -701,7 +718,7 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
             bit_p += 2
             delta = hist[r]
         else:
-            slot = (dst_hi[dict_i] << 3) | dst_lo[dict_i]
+            slot = slot_arr[dict_i]
             dict_i += 1
             if slot < 4:
                 dv = int(slot)

@@ -44,8 +44,8 @@ TOK_LIT, TOK_DICT, TOK_REP = 0, 1, 2
 
 
 def _build_cdf_jnp(carry, nsym: int):
-    """Device mirror of format.wide.build_cdf. carry: [B, R, >=nsym] i32
-    (columns past nsym are always zero and ignored)."""
+    """Device mirror of format.wide.build_cdf: fences [..., nsym + 1].
+    carry: [B, R, nsym] i32."""
     carry = carry[..., :nsym]
     tot = jnp.sum(carry, axis=-1, keepdims=True)
     freq = 1 + (carry * (CDF_SCALE_TOTAL - nsym)) // (tot + 1)
@@ -55,7 +55,7 @@ def _build_cdf_jnp(carry, nsym: int):
         [
             jnp.zeros(shape + (1,), _I32),
             fences,
-            jnp.full(shape + (17 - nsym,), CDF_SCALE_TOTAL, _I32),
+            jnp.full(shape + (1,), CDF_SCALE_TOTAL, _I32),
         ],
         axis=-1,
     )
@@ -63,10 +63,10 @@ def _build_cdf_jnp(carry, nsym: int):
 
 def _uniform_tables(B: int, rows: int, nsym: int):
     step = CDF_SCALE_TOTAL // nsym
-    cells = np.zeros(17, np.int32)
-    cells[1 : nsym + 1] = np.arange(1, nsym + 1) * step
-    cells[nsym:] = CDF_SCALE_TOTAL
-    return jnp.broadcast_to(jnp.asarray(cells), (B, rows, 17)).astype(_I32)
+    cells = np.zeros(nsym + 1, np.int32)
+    cells[1:] = np.arange(1, nsym + 1) * step
+    cells[nsym] = CDF_SCALE_TOTAL
+    return jnp.broadcast_to(jnp.asarray(cells), (B, rows, nsym + 1)).astype(_I32)
 
 
 @partial(jax.jit, static_argnames=("plane_idx", "steps"))
@@ -81,7 +81,7 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
     chunk's dense window with two-level one-hot contractions that XLA
     places on the MXU (f32 exact: values < 2^16). n_sym: [B] symbol
     counts. ctx: [B, steps*L] read-0 context rows. steps must equal
-    sum(chunk_schedule(...)). prior: optional per-read [rows, 16]
+    sum(chunk_schedule(...)). prior: optional per-read [rows, alph]
     warm-start counts. Returns per-read symbol arrays, each [B, steps*L].
     """
     from ..format.wide import chunk_schedule
@@ -181,7 +181,9 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
         ctx_c, active_c, win_c = xs
         win3 = win_c.reshape(B, WH // 8, 8).astype(f32)
         tables_f = tuple(t.astype(f32) for t in tables)
-        counts0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(reads))
+        counts0 = tuple(
+            jnp.zeros((B, spec.rows[r], spec.alphabets[r]), _I32) for r in range(reads)
+        )
         rel0 = jnp.zeros((B,), _I32)  # window is per chunk: cursor resets
         (x, _, _, counts), ys = jax.lax.scan(
             make_step(win3), (x, rel0, tables_f, counts0), (ctx_c, active_c)
@@ -196,10 +198,14 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
 
     if prior is None:
         tables0 = tuple(_uniform_tables(B, spec.rows[r], spec.alphabets[r]) for r in range(reads))
-        carries0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(reads))
+        carries0 = tuple(
+            jnp.zeros((B, spec.rows[r], spec.alphabets[r]), _I32) for r in range(reads)
+        )
     else:
         carries0 = tuple(
-            jnp.broadcast_to(prior[r][None], (B, spec.rows[r], 16)).astype(_I32)
+            jnp.broadcast_to(
+                prior[r][None], (B, spec.rows[r], spec.alphabets[r])
+            ).astype(_I32)
             for r in range(reads)
         )
         tables0 = tuple(
@@ -240,25 +246,25 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
 
 
 # ---------------------------------------------------- fused phase-1 scan
-# The tok/lit/len/lex planes all have context-free first reads (row 0),
-# so their scans fuse into ONE: 88 lanes advance together per step, one
-# fence-compare / one window-select op group instead of four - per-step
-# op count is what the chip bills for at these tiny tensor sizes (~8us
-# per op), and the fused scan runs max(steps_p) steps instead of
-# sum(steps_p). The dst plane keeps its own scan (its read-0 row needs
-# the assembled lc context). Stream consumption per plane is unchanged
-# byte-for-byte: each plane keeps its own window, cursor and chunk
-# schedule prefix.
+# The tok/lit/len/lex planes are all single-read with context-free row-0
+# tables (wire v3), so their scans fuse into ONE: all their lanes advance
+# together per step through one fence compare, one rANS update and one
+# window select - per-step op count is what the chip bills for at these
+# tensor sizes (~8us fixed cost per op), and the fused scan runs
+# max(steps_p) steps instead of sum(steps_p). The fence compare runs at
+# the joint width (256) against per-chunk-static tables hoisted OUT of
+# the step loop (built once per chunk in chunk_body; planes with smaller
+# alphabets pad their fences with 2^14, which no 14-bit rANS state ever
+# reaches, so padded columns never match). The dst plane keeps its own
+# scan (its row needs the assembled lc context). Stream consumption per
+# plane is unchanged byte-for-byte: each plane keeps its own window,
+# cursor and chunk schedule prefix.
 _P1_L = tuple(PLANES[i].lanes for i in range(4))  # tok, lit, len, lex
 _P1_BASE = tuple(int(np.cumsum((0,) + _P1_L)[i]) for i in range(4))
 _P1_LTOT = sum(_P1_L)
 _P1_ALPH = tuple(PLANES[i].alphabets[0] for i in range(4))
 _P1_BOUNDS = tuple((b, b + l) for b, l in zip(_P1_BASE, _P1_L))
-# read-1 subset: lit lanes then lex lanes
-_LIT_SL = (_P1_BASE[1], _P1_BASE[1] + _P1_L[1])
-_LEX_SL = (_P1_BASE[3], _P1_BASE[3] + _P1_L[3])
-_R1_LTOT = _P1_L[1] + _P1_L[3]
-_R1_BOUNDS = ((0, _P1_L[1]), (_P1_L[1], _R1_LTOT))  # lit, lex segments
+_P1_W = max(_P1_ALPH)  # joint compare width
 
 
 def _seg_ranks(renorm, bounds):
@@ -280,12 +286,12 @@ def _seg_ranks(renorm, bounds):
 def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     """Decode tok+lit+len+lex for all blocks in one fused scan.
 
-    seeds: [B, 88] u32 lane states (tok|lit|len|lex). wins: tuple of 4
+    seeds: [B, LTOT] u32 lane states (tok|lit|len|lex). wins: tuple of 4
     per-plane [NC, B, WH_p] chunk windows (NC = global chunk count for
     `steps`). n_syms: [B, 4] per-plane symbol counts. priors: optional
-    6-tuple (tok0, lit0, lit1, len0, lex0, lex1) of [rows, 16] counts.
-    Returns (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo); plane p's
-    arrays are [B, steps * L_p].
+    4-tuple (tok, lit, len, lex) of [1, alph] counts.
+    Returns (tok_y, lit_y, len_y, lex_y); plane p's array is
+    [B, steps * L_p].
     """
     from ..format.wide import chunk_schedule
 
@@ -306,27 +312,15 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     pid = np.concatenate([np.full(l, i, np.int32) for i, l in enumerate(_P1_L)])
     lane_off = np.concatenate([np.arange(l, dtype=np.int32) for l in _P1_L])
     lane_lp = np.concatenate([np.full(l, l, np.int32) for l in _P1_L])
-    base_w_lane = jnp.asarray(np.asarray(base_w, np.int32)[pid])  # [88]
+    base_w_lane = jnp.asarray(np.asarray(base_w, np.int32)[pid])  # [LTOT]
     pid_j = jnp.asarray(pid)
 
     t_iota = jnp.arange(steps, dtype=_I32)
-    nsym_lane = jnp.take(n_syms, pid_j, axis=1)  # [B, 88]
+    nsym_lane = jnp.take(n_syms, pid_j, axis=1)  # [B, LTOT]
     active_t = (
         t_iota[:, None, None] * jnp.asarray(lane_lp)[None, None, :]
         + jnp.asarray(lane_off)[None, None, :]
-    ) < nsym_lane[None, :, :]  # [steps, B, 88]
-
-    # read-1 static metadata: lit lanes (rows 0..15) then lex lanes
-    # (rows 16..31) of the stacked read-1 tables
-    r1_row_base = jnp.asarray(
-        np.concatenate([np.zeros(_P1_L[1], np.int32), np.full(_P1_L[3], 16, np.int32)])
-    )
-    r1_base_w = jnp.asarray(
-        np.concatenate([
-            np.full(_P1_L[1], base_w[1], np.int32),
-            np.full(_P1_L[3], base_w[3], np.int32),
-        ])
-    )
+    ) < nsym_lane[None, :, :]  # [steps, B, LTOT]
 
     def fetch_pairs(win3, h):
         oh_hi = jax.nn.one_hot(h >> 3, WHc // 8, dtype=f32)
@@ -338,38 +332,23 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             .astype(_U32)
         )
 
-    def spans_from(tbl, f):
-        """Common fence math: (y, start, freq, y16) from i32 fences."""
-        cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)
-        dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]
-        y = jnp.sum(cmp, axis=2)
-        start = jnp.sum(cmp * dtbl, axis=2)
-        cmp1 = jnp.concatenate(
-            [jnp.ones(cmp.shape[:2] + (1,), _I32), cmp[:, :, :-1]], axis=2
-        )
-        y16 = cmp1 - cmp
-        freq = jnp.sum(y16 * dtbl, axis=2)
-        return y, start, freq, y16
+    def make_step(win3, fence1, dtbl):
+        # fence1: [B, LTOT, W] fences[1..W] per lane (chunk-static, padded
+        # with 2^14 past each plane's alphabet); dtbl: fence deltas
+        # (padded with 0, so padded symbols never contribute to spans).
+        def step_body(carry, active):
+            x, rels, counts = carry
 
-    def make_step(win3):
-        def step_body(carry, xs):
-            x, rels, tables, counts = carry
-            active = xs  # [B, 88]
-            (t_tok0, t_lit0, t_lit1, t_len0, t_lex0, t_lex1) = tables
-            (c_tok0, c_lit0, c_lit1, c_len0, c_lex0, c_lex1) = counts
-
-            # ---- read 0: all 88 lanes, static per-lane single-row tables
-            tbl0 = jnp.concatenate(
-                [
-                    jnp.broadcast_to(t_tok0, (B, _P1_L[0], 17)),
-                    jnp.broadcast_to(t_lit0, (B, _P1_L[1], 17)),
-                    jnp.broadcast_to(t_len0, (B, _P1_L[2], 17)),
-                    jnp.broadcast_to(t_lex0, (B, _P1_L[3], 17)),
-                ],
-                axis=1,
-            )
             f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
-            y, start, freq, y16 = spans_from(tbl0, f)
+            cmp = (f[:, :, None] >= fence1).astype(_I32)  # [B, LTOT, W]
+            y = jnp.sum(cmp, axis=2)
+            start = jnp.sum(cmp * dtbl, axis=2)
+            cmp1 = jnp.concatenate(
+                [jnp.ones((B, _P1_LTOT, 1), _I32), cmp[:, :, :-1]], axis=2
+            )
+            y_oh = cmp1 - cmp
+            freq = jnp.sum(y_oh * dtbl, axis=2)
+
             x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
             renorm = active & (x2 < jnp.asarray(1 << 16, _U32))
             rank, totals = _seg_ranks(renorm, _P1_BOUNDS)
@@ -379,97 +358,62 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             x3 = jnp.where(renorm, (x2 << 16) | pair, x2)
             x = jnp.where(active, x3, x)
             rels = rels + jnp.stack(totals, axis=1)
+
             y = jnp.where(active, y, 0)
-            y16a = y16 * active.astype(_I32)[:, :, None]
-            c_tok0 = c_tok0 + jnp.sum(y16a[:, _P1_BOUNDS[0][0]:_P1_BOUNDS[0][1]], axis=1)[:, None, :]
-            c_lit0 = c_lit0 + jnp.sum(y16a[:, _P1_BOUNDS[1][0]:_P1_BOUNDS[1][1]], axis=1)[:, None, :]
-            c_len0 = c_len0 + jnp.sum(y16a[:, _P1_BOUNDS[2][0]:_P1_BOUNDS[2][1]], axis=1)[:, None, :]
-            c_lex0 = c_lex0 + jnp.sum(y16a[:, _P1_BOUNDS[3][0]:_P1_BOUNDS[3][1]], axis=1)[:, None, :]
-
-            # ---- read 1: lit + lex lanes only (40), rows from read-0 y
-            x40 = jnp.concatenate(
-                [x[:, _LIT_SL[0]:_LIT_SL[1]], x[:, _LEX_SL[0]:_LEX_SL[1]]], axis=1)
-            act40 = jnp.concatenate(
-                [active[:, _LIT_SL[0]:_LIT_SL[1]], active[:, _LEX_SL[0]:_LEX_SL[1]]], axis=1)
-            y040 = jnp.concatenate(
-                [y[:, _LIT_SL[0]:_LIT_SL[1]], y[:, _LEX_SL[0]:_LEX_SL[1]]], axis=1)
-            row40 = r1_row_base[None, :] + y040
-            t1 = jnp.concatenate([t_lit1, t_lex1], axis=1)  # [B, 32, 17]
-            row_oh = jax.nn.one_hot(row40, 32, dtype=f32)
-            tbl40 = jnp.einsum(
-                "blr,brw->blw", row_oh, t1.astype(f32), precision=PX
-            ).astype(_I32)
-            f40 = (x40 & jnp.asarray(0x3FFF, _U32)).astype(_I32)
-            y1, start1, freq1, y161 = spans_from(tbl40, f40)
-            x2b = freq1.astype(_U32) * (x40 >> CDF_SCALE_BITS) + (
-                f40 - start1
-            ).astype(_U32)
-            renorm1 = act40 & (x2b < jnp.asarray(1 << 16, _U32))
-            rank1, totals1 = _seg_ranks(renorm1, _R1_BOUNDS)
-            rel_lit = rels[:, 1:2]
-            rel_lex = rels[:, 3:4]
-            rel40 = jnp.concatenate(
-                [jnp.broadcast_to(rel_lit, (B, _P1_L[1])),
-                 jnp.broadcast_to(rel_lex, (B, _P1_L[3]))],
-                axis=1,
+            y_oha = y_oh * active.astype(_I32)[:, :, None]
+            counts = tuple(
+                counts[p]
+                + jnp.sum(
+                    y_oha[:, _P1_BOUNDS[p][0] : _P1_BOUNDS[p][1], : _P1_ALPH[p]],
+                    axis=1,
+                )[:, None, :]
+                for p in range(4)
             )
-            h1 = jnp.clip(r1_base_w[None, :] + rel40 + rank1, 0, WHc - 1)
-            pair1 = fetch_pairs(win3, h1)
-            x3b = jnp.where(renorm1, (x2b << 16) | pair1, x2b)
-            x40 = jnp.where(act40, x3b, x40)
-            x = jnp.concatenate(
-                [x[:, 0:_P1_BASE[1]], x40[:, 0:_P1_L[1]],
-                 x[:, _P1_BASE[2]:_P1_BASE[3]], x40[:, _P1_L[1]:_R1_LTOT]], axis=1
-            )
-            rels = rels + jnp.stack(
-                [jnp.zeros((B,), _I32), totals1[0], jnp.zeros((B,), _I32), totals1[1]],
-                axis=1,
-            )
-            y1 = jnp.where(act40, y1, 0)
-            y161a = y161 * act40.astype(_I32)[:, :, None]
-            c1 = jnp.einsum(
-                "blr,bls->brs", row_oh, y161a.astype(f32), precision=PX
-            ).astype(_I32)
-            c_lit1 = c_lit1 + c1[:, 0:16]
-            c_lex1 = c_lex1 + c1[:, 16:32]
-
-            counts = (c_tok0, c_lit0, c_lit1, c_len0, c_lex0, c_lex1)
-            tables = (t_tok0, t_lit0, t_lit1, t_len0, t_lex0, t_lex1)
-            return (x, rels, tables, counts), (y, y1)
+            return (x, rels, counts), y
 
         return step_body
-
-    alph6 = (4, 16, 16, 8, 16, 16)
 
     def chunk_body(carry, xs):
         x, tables, carries = carry
         active_c, win_c = xs
         win3 = win_c.reshape(B, WHc // 8, 8).astype(f32)
+        # hoist the per-lane fence/delta tables out of the step loop:
+        # tables change only at chunk boundaries
+        f1_parts, dt_parts = [], []
+        for p in range(4):
+            t = tables[p]  # [B, 1, alph+1]
+            f1 = t[:, :, 1:]
+            dt = t[:, :, 1:] - t[:, :, :-1]
+            wpad = _P1_W - _P1_ALPH[p]
+            if wpad:
+                f1 = jnp.pad(f1, ((0, 0), (0, 0), (0, wpad)), constant_values=CDF_SCALE_TOTAL)
+                dt = jnp.pad(dt, ((0, 0), (0, 0), (0, wpad)))
+            f1_parts.append(jnp.broadcast_to(f1, (B, _P1_L[p], _P1_W)))
+            dt_parts.append(jnp.broadcast_to(dt, (B, _P1_L[p], _P1_W)))
+        fence1 = jnp.concatenate(f1_parts, axis=1)
+        dtbl = jnp.concatenate(dt_parts, axis=1)
+
         counts0 = tuple(jnp.zeros_like(c) for c in carries)
         rel0 = jnp.zeros((B, 4), _I32)
-        (x, _, _, counts), ys = jax.lax.scan(
-            make_step(win3), (x, rel0, tables, counts0), active_c
+        (x, _, counts), ys = jax.lax.scan(
+            make_step(win3, fence1, dtbl), (x, rel0, counts0), active_c
         )
-        new_carries = tuple(
-            (carries[i] >> 1) + counts[i] for i in range(6)
-        )
+        new_carries = tuple((carries[p] >> 1) + counts[p] for p in range(4))
         new_tables = tuple(
-            _build_cdf_jnp(new_carries[i], alph6[i]) for i in range(6)
+            _build_cdf_jnp(new_carries[p], _P1_ALPH[p]) for p in range(4)
         )
         return (x, new_tables, new_carries), ys
 
     if priors is None:
-        rows6 = (1, 1, 16, 1, 1, 16)
-        tables0 = tuple(_uniform_tables(B, rows6[i], alph6[i]) for i in range(6))
-        carries0 = tuple(jnp.zeros((B, rows6[i], 16), _I32) for i in range(6))
+        tables0 = tuple(_uniform_tables(B, 1, _P1_ALPH[p]) for p in range(4))
+        carries0 = tuple(jnp.zeros((B, 1, _P1_ALPH[p]), _I32) for p in range(4))
     else:
-        rows6 = (1, 1, 16, 1, 1, 16)
         carries0 = tuple(
-            jnp.broadcast_to(priors[i][None], (B, rows6[i], 16)).astype(_I32)
-            for i in range(6)
+            jnp.broadcast_to(priors[p][None], (B, 1, _P1_ALPH[p])).astype(_I32)
+            for p in range(4)
         )
         tables0 = tuple(
-            _build_cdf_jnp(carries0[i], alph6[i]) for i in range(6)
+            _build_cdf_jnp(carries0[p], _P1_ALPH[p]) for p in range(4)
         )
 
     schedule = chunk_schedule(steps)
@@ -482,35 +426,28 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             runs.append([clen, 1])
 
     carry = (seeds.astype(_U32), tables0, carries0)
-    ys0_parts, ys1_parts = [], []
+    ys_parts = []
     t0 = 0
     c0 = 0
     for clen, count in runs:
         seg = slice(t0, t0 + clen * count)
         act_x = active_t[seg].reshape(count, clen, B, _P1_LTOT)
         win_x = wins_cat[c0 : c0 + count]
-        carry, (ys0, ys1) = jax.lax.scan(chunk_body, carry, (act_x, win_x))
-        ys0_parts.append(ys0.reshape(count * clen, B, _P1_LTOT))
-        ys1_parts.append(ys1.reshape(count * clen, B, _R1_LTOT))
+        carry, ys = jax.lax.scan(chunk_body, carry, (act_x, win_x))
+        ys_parts.append(ys.reshape(count * clen, B, _P1_LTOT))
         t0 += clen * count
         c0 += count
 
-    y0 = jnp.concatenate(ys0_parts, axis=0).transpose(1, 0, 2)  # [B, steps, 88]
-    y1 = jnp.concatenate(ys1_parts, axis=0).transpose(1, 0, 2)  # [B, steps, R1]
-    out = []
-    # (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
-    out.append(y0[:, :, _P1_BOUNDS[0][0]:_P1_BOUNDS[0][1]].reshape(B, steps * _P1_L[0]))
-    out.append(y0[:, :, _P1_BOUNDS[1][0]:_P1_BOUNDS[1][1]].reshape(B, steps * _P1_L[1]))
-    out.append(y1[:, :, 0:_P1_L[1]].reshape(B, steps * _P1_L[1]))
-    out.append(y0[:, :, _P1_BOUNDS[2][0]:_P1_BOUNDS[2][1]].reshape(B, steps * _P1_L[2]))
-    out.append(y0[:, :, _P1_BOUNDS[3][0]:_P1_BOUNDS[3][1]].reshape(B, steps * _P1_L[3]))
-    out.append(y1[:, :, _P1_L[1]:_R1_LTOT].reshape(B, steps * _P1_L[3]))
-    return tuple(out)
+    y0 = jnp.concatenate(ys_parts, axis=0).transpose(1, 0, 2)  # [B, steps, LTOT]
+    return tuple(
+        y0[:, :, _P1_BOUNDS[p][0] : _P1_BOUNDS[p][1]].reshape(B, steps * _P1_L[p])
+        for p in range(4)
+    )
 
 
 # ------------------------------------------------------------- assembly
 @partial(jax.jit, static_argnames=("dst_width", "big"))
-def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width, big=False):
+def assemble_pre_dst(tok_y, n_cmds, len_y, lex_y, dst_width, big=False):
     """Stage A: everything decodable before the dst plane (whose scan
     needs the lc context). Returns per-command arrays + dst ctx.
 
@@ -530,8 +467,7 @@ def assemble_pre_dst(tok_y, n_cmds, len_y, lex_hi, lex_lo, dst_width, big=False)
     len_sym = jnp.where(is_match, G(len_y, m_rank), 0)
     esc = is_match & (len_sym == 7)
     lex_rank = jnp.cumsum(esc.astype(_I32), axis=1) - esc.astype(_I32)
-    lex_vals = (lex_hi << 4) | lex_lo
-    ext = jnp.where(esc, G(lex_vals, lex_rank), 0)
+    ext = jnp.where(esc, G(lex_y, lex_rank), 0)
     lv = jnp.where(esc, 7 + ext, len_sym)
     lc = jnp.clip(lv, 0, 3)
 
@@ -566,7 +502,7 @@ def _bits_fetch(bit_half, offs, width, big=False):
 @partial(jax.jit, static_argnames=("big", "wide_delta"))
 def assemble_post_dst(
     is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-    lit_hi, lit_lo, dst_hi, dst_lo, bit_half, n_cmds, big=False,
+    lit_y, slot_y, bit_half, n_cmds, big=False,
     wide_delta=False,
 ):
     """Stage B: distances, rep resolution, literals, raw bits ->
@@ -582,8 +518,7 @@ def assemble_post_dst(
     B, Tc = is_lit.shape
     active = is_lit | is_rep | is_dict
 
-    slot_d = (dst_hi << 3) | dst_lo  # dict-aligned
-    slot = jnp.where(is_dict, G(slot_d, d_rank), 0)
+    slot = jnp.where(is_dict, G(slot_y, d_rank), 0)  # slot_y is dict-aligned
     is_big_slot = slot >= 4
     # clamp to the format maximum (128 KiB blocks + 64 KiB dict ->
     # dv < 2^18 -> ab <= 16, still within _bits_fetch's 16-bit fields) so
@@ -608,8 +543,7 @@ def assemble_post_dst(
     delta = jnp.where(is_rep, delta_rep, delta_dict)
 
     lit_rank = jnp.cumsum(is_lit.astype(_I32), axis=1) - is_lit.astype(_I32)
-    lit_vals = (lit_hi << 4) | lit_lo
-    byte = jnp.where(is_lit, G(lit_vals, lit_rank), 0)
+    byte = jnp.where(is_lit, G(lit_y, lit_rank), 0)
 
     mmin = (
         2
@@ -725,10 +659,7 @@ def prepare_wide(payloads, priors_blob: bytes | None = None):
     if priors_blob:
         raw = parse_priors(priors_blob)
         priors = {
-            name: [
-                jnp.asarray(np.pad(a, ((0, 0), (0, 16 - a.shape[1]))).astype(np.int32))
-                for a in pr
-            ]
+            name: [jnp.asarray(np.asarray(a, np.int32)) for a in pr]
             for name, pr in raw.items()
         }
     return {
@@ -765,28 +696,25 @@ def decode_wide_staged(staged, block_size: int):
     priors_f = None
     if priors:
         priors_f = (
-            priors["tok"][0], priors["lit"][0], priors["lit"][1],
-            priors["len"][0], priors["lex"][0], priors["lex"][1],
+            priors["tok"][0], priors["lit"][0],
+            priors["len"][0], priors["lex"][0],
         )
-    tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = plane_scan_fused(
+    tok_y, lit_y, len_y, lex_y = plane_scan_fused(
         seeds_f, tuple(wins[i] for i in range(4)), nsyms_f, steps[0], priors_f
     )
-    tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo = map(
-        cap15, (tok_y, lit_hi, lit_lo, len_y, lex_hi, lex_lo)
-    )
+    tok_y, lit_y, len_y, lex_y = map(cap15, (tok_y, lit_y, len_y, lex_y))
     scan = lambda i, ctx: plane_scan(
         seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name)
     )
 
     is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
-        tok_y, n_sym[0], len_y, lex_hi, lex_lo, padw(4), big
+        tok_y, n_sym[0], len_y, lex_y, padw(4), big
     )
-    dst_hi, dst_lo = scan(4, lc_dict)
-    dst_hi, dst_lo = cap15(dst_hi), cap15(dst_lo)
+    slot_y = cap15(scan(4, lc_dict)[0])
 
     op_len, op_val = assemble_post_dst(
         is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-        lit_hi, lit_lo, dst_hi, dst_lo, staged["bit_half"], n_sym[0], big,
+        lit_y, slot_y, staged["bit_half"], n_sym[0], big,
         wide_delta=dict_arr is not None,
     )
     return lz_expand_parallel(op_len, op_val, block_size, rounds_hint, dict_arr)

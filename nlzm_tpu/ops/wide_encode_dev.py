@@ -53,24 +53,24 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
     syms_t = [s.reshape(B, steps, L).transpose(1, 0, 2) for s in syms]
     rows_t = [s.reshape(B, steps, L).transpose(1, 0, 2) for s in rows]
 
-    def span_one(tables_f, counts, row, y, active, single_row):
+    def span_one(tables_f, counts, row, y, active, single_row, alph):
         """(start, freq) spans + count bump for one read (no rANS)."""
         if single_row:
-            tbl = tables_f[:, 0][:, None, :].astype(_I32)  # [B, 1, 17]
+            tbl = tables_f[:, 0][:, None, :].astype(_I32)  # [B, 1, alph+1]
         else:
             row_oh = jax.nn.one_hot(row, tables_f.shape[1], dtype=f32)
             tbl = jnp.einsum("blr,brw->blw", row_oh, tables_f, precision=PX).astype(_I32)
-        y_oh16 = jax.nn.one_hot(y, 16, dtype=_I32)  # [B, L, 16]
-        dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]  # [B|1, L|1, 16]
+        y_oh = jax.nn.one_hot(y, alph, dtype=_I32)  # [B, L, alph]
+        dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]  # [B|1, L|1, alph]
         cum = tbl[:, :, :-1]
-        start = jnp.sum(y_oh16 * cum, axis=2)
-        freq = jnp.sum(y_oh16 * dtbl, axis=2)
-        y16a = y_oh16 * active.astype(_I32)[:, :, None]
+        start = jnp.sum(y_oh * cum, axis=2)
+        freq = jnp.sum(y_oh * dtbl, axis=2)
+        y_oha = y_oh * active.astype(_I32)[:, :, None]
         if single_row:
-            counts = counts + jnp.sum(y16a, axis=1)[:, None, :]
+            counts = counts + jnp.sum(y_oha, axis=1)[:, None, :]
         else:
             counts = counts + jnp.einsum(
-                "blr,bls->brs", row_oh, y16a.astype(f32), precision=PX
+                "blr,bls->brs", row_oh, y_oha.astype(f32), precision=PX
             ).astype(_I32)
         return start, freq, counts
 
@@ -81,7 +81,8 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
         new_counts = []
         for r in range(R):
             st, fq, cnt = span_one(
-                tables_f[r], counts[r], rws[r], ys[r], active, spec.rows[r] == 1
+                tables_f[r], counts[r], rws[r], ys[r], active,
+                spec.rows[r] == 1, spec.alphabets[r],
             )
             starts.append(jnp.where(active, st, 0))
             freqs.append(jnp.where(active, fq, 1))
@@ -95,7 +96,9 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
         tables, carries = carry
         ys_c, rws_c, active_c = xs  # [clen, ...]
         tables_f = tuple(t.astype(f32) for t in tables)
-        counts0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(R))
+        counts0 = tuple(
+            jnp.zeros((B, spec.rows[r], spec.alphabets[r]), _I32) for r in range(R)
+        )
         (_, counts), (st_c, fq_c) = jax.lax.scan(
             step_body, (tables_f, counts0), (ys_c, rws_c, active_c)
         )
@@ -107,10 +110,14 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
 
     if prior is None:
         tables0 = tuple(_uniform_tables(B, spec.rows[r], spec.alphabets[r]) for r in range(R))
-        carries0 = tuple(jnp.zeros((B, spec.rows[r], 16), _I32) for r in range(R))
+        carries0 = tuple(
+            jnp.zeros((B, spec.rows[r], spec.alphabets[r]), _I32) for r in range(R)
+        )
     else:
         carries0 = tuple(
-            jnp.broadcast_to(prior[r][None], (B, spec.rows[r], 16)).astype(_I32)
+            jnp.broadcast_to(
+                prior[r][None], (B, spec.rows[r], spec.alphabets[r])
+            ).astype(_I32)
             for r in range(R)
         )
         tables0 = tuple(
@@ -178,12 +185,7 @@ def encode_planes_device(batched, priors=None):
         prior = None
         if priors is not None:
             prior = tuple(
-                jnp.asarray(
-                    np.pad(
-                        np.asarray(priors[spec.name][r], np.int32),
-                        ((0, 0), (0, 16 - spec.alphabets[r])),
-                    )
-                )
+                jnp.asarray(np.asarray(priors[spec.name][r], np.int32))
                 for r in range(spec.reads)
             )
         seeds, pa, ma = plane_encode(

@@ -75,12 +75,30 @@ def test_dict_big_block_roundtrip(drift_corpus):
 
 
 def test_dict_corruption_detected(drift_corpus, dict_container):
-    from nlzm_tpu.parallel.blocks import IntegrityError
+    """A LIVE stream byte flip must fail the container CRC.
 
-    blob = bytearray(dict_container)
+    The flip targets the first renorm pair of the tok plane: an early
+    pair feeds lane states with thousands of active symbols still to
+    decode, so the corruption always reaches the output. (Bytes near a
+    plane's tail can land in lanes' FINAL refills - state consumed after
+    the last active symbol and then discarded - where a flip provably
+    cannot change any output byte; the CRC correctly passes there.)
+    """
+    from nlzm_tpu.format.wide import (
+        HDR_BYTES, N_PLANES, PLANES, chunk_schedule, padded_steps,
+    )
+    from nlzm_tpu.parallel.blocks import IntegrityError, block_payloads
+
     info = parse_container(dict_container)
-    # flip a byte well inside the first block's rANS streams
-    blob[info.payload_off + info.comp_sizes[0] // 2] ^= 0xFF
+    payload = block_payloads(dict_container, info)[0]
+    tables = 0
+    for i in range(N_PLANES):
+        sym_count = int.from_bytes(payload[8 * i : 8 * i + 4], "big")
+        nc = len(chunk_schedule(padded_steps(sym_count, PLANES[i].lanes)))
+        tables += 2 * (nc - 1)
+    first_tok_pair = HDR_BYTES + tables + 4 * PLANES[0].lanes
+    blob = bytearray(dict_container)
+    blob[info.payload_off + first_tok_pair] ^= 0xFF
     with pytest.raises((IntegrityError, ValueError)):
         decode_container(bytes(blob), engine="tpu")
 

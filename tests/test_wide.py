@@ -50,45 +50,48 @@ def test_host_roundtrip_with_priors():
     assert np.array_equal(dv, op_val)
 
 
-def test_device_plane_matches_host_encoder():
+@pytest.mark.parametrize("plane_idx", [1, 4])
+def test_device_plane_matches_host_encoder(plane_idx):
+    """Generic plane_scan vs the host encoder: lit (256-symbol joint
+    alphabet, single row) and dst (64 symbols, 4 lc context rows)."""
     import jax.numpy as jnp
 
     from nlzm_tpu.ops.wide_decode import plane_scan
 
     rng = np.random.default_rng(3)
-    spec = wide.PLANES[1]  # lit plane: 2 reads, rows (1, 16)
+    spec = wide.PLANES[plane_idx]
+    alph = spec.alphabets[0]
+    n_rows = spec.rows[0]
     B = 3
     counts = np.array([700, 1023, 1])
     steps = wide.padded_steps(int(counts.max()), spec.lanes)
     T_pad = steps * spec.lanes
     syms0 = np.zeros((B, T_pad), np.int64)
-    syms1 = np.zeros((B, T_pad), np.int64)
+    rows0 = np.zeros((B, T_pad), np.int64)
     for b in range(B):
         n = counts[b]
-        syms0[b, :n] = rng.integers(0, 16, n)
-        syms1[b, :n] = rng.integers(0, 16, n)
-    rows0 = np.zeros_like(syms0)
-    rows1 = syms0.copy()
+        syms0[b, :n] = rng.integers(0, alph, n)
+        if n_rows > 1:
+            rows0[b, :n] = rng.integers(0, n_rows, n)
     streams, offsets = wide._rans_encode_plane(
-        spec, [syms0, syms1], [rows0, rows1], counts, B
+        spec, [syms0], [rows0], counts, B
     )
 
     from nlzm_tpu.ops.wide_decode import stage_plane
 
-    seeds, wins = stage_plane(streams, list(offsets), 1, steps)
-    y0, y1 = plane_scan(
+    seeds, wins = stage_plane(streams, list(offsets), plane_idx, steps)
+    (y0,) = plane_scan(
         seeds,
         wins,
         jnp.asarray(counts, np.int32),
-        jnp.zeros((B, T_pad), jnp.int32),
-        1,
+        jnp.asarray(rows0, jnp.int32),
+        plane_idx,
         steps,
     )
-    y0, y1 = np.asarray(y0), np.asarray(y1)
+    y0 = np.asarray(y0)
     for b in range(B):
         n = counts[b]
         assert np.array_equal(y0[b, :n], syms0[b, :n])
-        assert np.array_equal(y1[b, :n], syms1[b, :n])
 
 
 @pytest.mark.parametrize("name", ["text", "repetitive", "random", "zeros"])
