@@ -1,7 +1,7 @@
 """PPM research codec v2: suffix-linked context trie (var.I-class).
 
-Fills the two structural gaps the hashed-table PPM (research/ppm.py)
-left open vs the reference's PPMd var.I
+Fills the structural gaps the hashed-table PPM (research/ppm.py) left
+open vs the reference's PPMd var.I
 (/root/reference/research/ppmd-cleaned-cpp/):
 
 - **Suffix-linked context trie with lazy successor creation.** Contexts
@@ -12,15 +12,25 @@ left open vs the reference's PPMd var.I
   symbol from the path that created them - the same role as
   CreateSuccessors (ppmd_model.cpp:210-298) without its raw-text
   pointer encoding (we key pending successors by (ctx, sym) instead).
+- **UNIT suballocator storage** (ppmd_alloc.cpp:76-275). Every Context
+  record and stat vector lives in a fixed-capacity `UnitArena`
+  (research/ppm_alloc.py): two-ended bump allocation, 128 size-class
+  free lists, block splitting and forward coalescing, and a raw-text
+  cursor (one byte per coded symbol, as in var.I) that the pool floor
+  can shrink into. Vector growth/shedding runs through
+  expand/shrink_units, so rescale churn genuinely recycles blocks.
 - **CutOff pruning instead of full restart** (ppmd_model.cpp:520-598).
-  At the node budget the model prunes: contexts whose total frequency
-  is below a threshold are dropped recursively (children first),
-  surviving stats halve, and coding continues with the pruned model.
-  The trigger and rule are deterministic, so encoder and decoder prune
-  identically at the same symbol - bitstream-compatible graceful
-  degradation rather than a restart. A full reset remains as the
-  last-resort tier (restart_model, mirroring RestoreModel's
-  "free everything" arm).
+  At the node budget - or when the arena runs out of contiguous
+  headroom - the model prunes: contexts whose total frequency is below
+  a threshold are dropped recursively (children first), surviving
+  stats halve, survivors are copy-collected into a fresh arena, and
+  suffix links that pointed into pruned contexts relink to the nearest
+  surviving suffix ancestor (the reference's CutOff fixes up suffixes
+  the same way). The triggers and rules are deterministic, so encoder
+  and decoder prune identically at the same symbol -
+  bitstream-compatible graceful degradation rather than a restart. A
+  full reset remains as the last-resort tier (mirroring RestoreModel's
+  "free everything" arm, ppmd_model.cpp:136-154).
 
 The coder, SEE estimator bank, exclusion handling and driver structure
 are shared with research/ppm.py (same carry-less range coder family as
@@ -29,12 +39,20 @@ research tree.
 """
 
 from .ppm import _SEE, BOT, MAX_FREQ, RangeDecoder, RangeEncoder
+from .ppm_alloc import UNIT_STATES, UnitArena, units_for
 
 MAX_ORDER = 6
 NODE_BUDGET = 1 << 18  # states across the trie before CutOff
 CUTOFF_FREQ = 3  # contexts with total freq below this are pruned
 INIT_FREQ = 3  # inherited-ish cold start for fresh symbols (swept)
 BUMP = 4
+
+ARENA_UNITS = 3 * (NODE_BUDGET >> 1)  # ~1.5 units per budgeted state
+TEXT_RESERVE = ARENA_UNITS >> 3  # 1/8 reserved for the raw-text analog
+STATE_BYTES = 6  # reference State size: text advances a unit per 12 B
+# worst single-symbol demand: MAX_ORDER+2 chain contexts each possibly
+# relocating a <=128-unit stat vector, plus <=MAX_ORDER new contexts
+HEADROOM = (MAX_ORDER + 2) * 129 + MAX_ORDER
 
 BIN_SCALE = 1 << 13  # binary-context probability scale
 BIN_INIT = BIN_SCALE - (BIN_SCALE >> 2)  # deterministic contexts usually hit
@@ -65,51 +83,161 @@ class _BinSEE:
         self.acc[key] = min(max(p + ((target - p) >> BIN_SHIFT), 1), BIN_SCALE - 1)
 
 
-class _Ctx:
-    __slots__ = ("suffix", "stats", "order")
-
-    def __init__(self, suffix, order):
-        self.suffix = suffix  # _Ctx | None (None only for root)
-        self.order = order
-        self.stats = {}  # sym -> [freq, successor_ctx_or_None]
-
-
 class _TrieModel:
-    """Mirror-deterministic suffix-trie model (shared by both drivers)."""
+    """Mirror-deterministic suffix-trie model (shared by both drivers).
+
+    Storage layout (all indices into one UnitArena):
+      context record = 1 unit `c`: sfx[c], order[c], nst[c], sptr[c]
+      stat vector = units_for(nst) units at sptr[c]; state slot i lives
+      at flat index sptr*UNIT_STATES + i in sym/freq/succ, kept sorted
+      by symbol (the coder iterates symbols in sorted order).
+    """
 
     def __init__(self):
-        self.restart()
-
-    def restart(self):
-        self.root = _Ctx(None, 0)
-        self.cur = self.root  # deepest active context
-        self.nodes = 0
         self.see = _SEE()
         self.bin_see = _BinSEE()
         self.pruned = 0
+        self._fresh_arena()
+
+    def _fresh_arena(self):
+        self.arena = UnitArena(ARENA_UNITS, TEXT_RESERVE)
+        ns = ARENA_UNITS * UNIT_STATES
+        self.sym = [0] * ns
+        self.freq = [0] * ns
+        self.succ = [-1] * ns
+        self.sfx = [-1] * ARENA_UNITS
+        self.order = [0] * ARENA_UNITS
+        self.nst = [0] * ARENA_UNITS
+        self.sptr = [-1] * ARENA_UNITS
+        self.text_bytes = 0
+        self.root = self._new_ctx(-1, 0)
+        self.cur = self.root
+        self.nodes = 0
+
+    def restart(self):
+        """Free everything (RestoreModel's last-resort arm)."""
+        self.see = _SEE()
+        self.bin_see = _BinSEE()
+        self._fresh_arena()
+
+    # -- arena-backed context/state primitives -----------------------
+    def _new_ctx(self, suffix, order):
+        c = self.arena.alloc_context()
+        # the per-symbol headroom check guarantees this never fails
+        assert c is not None
+        self.sfx[c] = suffix
+        self.order[c] = order
+        self.nst[c] = 0
+        self.sptr[c] = -1
+        return c
+
+    def _find(self, c, s):
+        """Flat state index of symbol s in context c, or -1."""
+        base = self.sptr[c] * UNIT_STATES
+        sym = self.sym
+        for i in range(base, base + self.nst[c]):
+            if sym[i] == s:
+                return i
+            if sym[i] > s:
+                return -1
+        return -1
+
+    def _insert(self, c, s, f):
+        """Sorted insert of a fresh state (expand_units on overflow)."""
+        k = self.nst[c]
+        if k == 0:
+            head = self.arena.alloc_units(1)
+            assert head is not None
+            self.sptr[c] = head
+        elif units_for(k + 1) > units_for(k):
+            old = self.sptr[c]
+            ob = old * UNIT_STATES
+
+            def copy_fn(new, ob=ob, k=k):
+                nb = new * UNIT_STATES
+                self.sym[nb : nb + k] = self.sym[ob : ob + k]
+                self.freq[nb : nb + k] = self.freq[ob : ob + k]
+                self.succ[nb : nb + k] = self.succ[ob : ob + k]
+
+            head = self.arena.expand_units(old, units_for(k), copy_fn)
+            assert head is not None
+            self.sptr[c] = head
+        base = self.sptr[c] * UNIT_STATES
+        i = base
+        while i < base + k and self.sym[i] < s:
+            i += 1
+        # shift the tail up one slot
+        self.sym[i + 1 : base + k + 1] = self.sym[i : base + k]
+        self.freq[i + 1 : base + k + 1] = self.freq[i : base + k]
+        self.succ[i + 1 : base + k + 1] = self.succ[i : base + k]
+        self.sym[i], self.freq[i], self.succ[i] = s, f, -1
+        self.nst[c] = k + 1
+
+    def _shed_zero(self, c):
+        """Drop zero-freq states after halving; shrink/free the block."""
+        base = self.sptr[c] * UNIT_STATES
+        k = self.nst[c]
+        w = base
+        for i in range(base, base + k):
+            if self.freq[i] > 0:
+                if w != i:
+                    self.sym[w] = self.sym[i]
+                    self.freq[w] = self.freq[i]
+                    self.succ[w] = self.succ[i]
+                w += 1
+        kept = w - base
+        dropped = k - kept
+        if dropped:
+            if kept == 0:
+                self.arena.free_units(self.sptr[c], units_for(k))
+                self.sptr[c] = -1
+            else:
+                old_u, new_u = units_for(k), units_for(kept)
+                if new_u != old_u:
+                    old = self.sptr[c]
+                    ob = old * UNIT_STATES
+
+                    def copy_fn(new, ob=ob, kept=kept):
+                        nb = new * UNIT_STATES
+                        self.sym[nb : nb + kept] = self.sym[ob : ob + kept]
+                        self.freq[nb : nb + kept] = self.freq[ob : ob + kept]
+                        self.succ[nb : nb + kept] = self.succ[ob : ob + kept]
+
+                    self.sptr[c] = self.arena.shrink_units(
+                        old, old_u, new_u, copy_fn
+                    )
+            self.nst[c] = kept
+        return dropped
+
+    def _total(self, c):
+        base = self.sptr[c] * UNIT_STATES
+        return sum(self.freq[base : base + self.nst[c]])
 
     # -- structure maintenance -------------------------------------
-    def _successor(self, ctx, sym):
-        """Child context of `ctx` through `sym`, materialized lazily.
+    def _successor(self, c, s):
+        """Child context of `c` through `s`, materialized lazily.
 
-        The child's suffix links to the successor of ctx.suffix through
-        the same symbol (recursively), which is how the suffix chain
-        stays consistent - the CreateSuccessors walk, evaluated eagerly
-        one level at a time.
+        The child's suffix links to the successor of sfx[c] through the
+        same symbol (recursively), which is how the suffix chain stays
+        consistent - the CreateSuccessors walk, evaluated eagerly one
+        level at a time.
         """
-        if ctx.order >= MAX_ORDER:
-            ctx = ctx.suffix
-        st = ctx.stats.get(sym)
-        if st is None:
+        if self.order[c] >= MAX_ORDER:
+            c = self.sfx[c]
+        i = self._find(c, s)
+        if i < 0:
             # symbol unseen here (can happen after pruning): root hop
             return self.root
-        if st[1] is None:
-            if ctx is self.root:
+        if self.succ[i] < 0:
+            if c == self.root:
                 sfx = self.root
             else:
-                sfx = self._successor(ctx.suffix, sym)
-            st[1] = _Ctx(sfx, ctx.order + 1)
-        return st[1]
+                sfx = self._successor(self.sfx[c], s)
+            # _successor may relocate nothing (no allocs besides the new
+            # context), but re-find the slot defensively is not needed:
+            # _new_ctx never moves stat vectors
+            self.succ[i] = self._new_ctx(sfx, self.order[c] + 1)
+        return self.succ[i]
 
     def advance(self, sym):
         """Move the active context through `sym` (after update())."""
@@ -119,71 +247,125 @@ class _TrieModel:
         """Bump/insert `sym` in the active chain (update exclusion: only
         contexts at order >= matched_order bump; shallower ones that
         escaped get a fresh count)."""
-        ctx = self.cur
-        while ctx is not None:
-            st = ctx.stats.get(sym)
-            if st is None:
-                ctx.stats[sym] = [INIT_FREQ, None]
+        # var.I appends every coded byte to the raw-text area; headroom
+        # check up front so no allocation below can fail mid-walk
+        self.text_bytes += 1
+        if self.text_bytes % (STATE_BYTES * UNIT_STATES) == 0:
+            if not self.arena.text_advance(1):
+                self.cutoff()
+        a = self.arena
+        if (a.hi - a.lo) + (a.units_start - a.text_used) < HEADROOM:
+            self.cutoff()
+        c = self.cur
+        while c >= 0:
+            i = self._find(c, sym)
+            if i < 0:
+                self._insert(c, sym, INIT_FREQ)
                 self.nodes += 1
-            elif ctx.order >= matched_order:
-                st[0] += BUMP
-                if sum(f for f, _ in ctx.stats.values()) > MAX_FREQ:
-                    self._rescale(ctx)
-            ctx = ctx.suffix
+            elif self.order[c] >= matched_order:
+                self.freq[i] += BUMP
+                if self._total(c) > MAX_FREQ:
+                    self._rescale(c)
+            c = self.sfx[c]
         if self.nodes > NODE_BUDGET:
             self.cutoff()
 
-    def _rescale(self, ctx):
-        for s in list(ctx.stats):
-            st = ctx.stats[s]
-            st[0] >>= 1
-            if st[0] == 0:
-                del ctx.stats[s]
-                self.nodes -= 1
+    def _rescale(self, c):
+        base = self.sptr[c] * UNIT_STATES
+        for i in range(base, base + self.nst[c]):
+            self.freq[i] >>= 1
+        self.nodes -= self._shed_zero(c)
 
     # -- graceful degradation --------------------------------------
     def cutoff(self):
-        """Prune the trie at the node budget (CutOff analog).
+        """Prune and copy-collect into a fresh arena (CutOff analog).
 
         Walk depth-first from the root; a non-root context survives only
         if its total frequency >= CUTOFF_FREQ. Dropped contexts take
-        their subtrees with them (the successor slot is cleared, so the
-        chain re-materializes from scratch if re-entered). Surviving
-        stats halve, shedding cold symbols. Deterministic: both coders
-        hit the same budget at the same symbol and prune identically.
+        their subtrees with them; surviving stats halve, shedding cold
+        symbols. Survivors are re-allocated compactly in a new arena
+        (the reference compacts in place with MoveUnitsUp - same
+        contract), and suffix links that pointed into pruned contexts
+        relink to the nearest surviving suffix ancestor. Deterministic:
+        both coders hit the same trigger at the same symbol and prune
+        identically.
         """
         self.pruned += 1
-        kept = 0
+        o_sym, o_freq, o_succ = self.sym, self.freq, self.succ
+        o_sfx, o_nst, o_sptr = self.sfx, self.nst, self.sptr
+        o_order, o_root = self.order, self.root
 
-        def walk(ctx):
-            nonlocal kept
-            for s in list(ctx.stats):
-                st = ctx.stats[s]
-                child = st[1]
-                if child is not None:
-                    tot = sum(f for f, _ in child.stats.values())
-                    if tot < CUTOFF_FREQ:
-                        st[1] = None  # drop subtree
+        def tot_of(c):
+            b = o_sptr[c] * UNIT_STATES
+            return sum(o_freq[b : b + o_nst[c]])
+
+        # pass 1: tree walk, decide survivors (children judged on
+        # pre-halve totals), halved freqs; record per-context kept states
+        keep = {}  # old ctx -> list of (sym, halved_freq, old_child|-1)
+        kept_states = 0
+
+        def walk(c):
+            nonlocal kept_states
+            out = []
+            b = o_sptr[c] * UNIT_STATES
+            for i in range(b, b + o_nst[c]):
+                child = o_succ[i]
+                if child >= 0:
+                    if tot_of(child) < CUTOFF_FREQ:
+                        child = -1  # drop subtree
                     else:
                         walk(child)
-                st[0] >>= 1
-                if st[0] == 0:
-                    del ctx.stats[s]
-                else:
-                    kept += 1
+                f = o_freq[i] >> 1
+                if f:
+                    out.append((o_sym[i], f, child))
+                    kept_states += 1
+                elif child >= 0:
+                    child = -1  # state dies, its subtree goes with it
+            keep[c] = out
 
-        walk(self.root)
-        self.nodes = kept
-        self.cur = self.root  # active path may be gone; restart the walk
-        if self.nodes > (NODE_BUDGET * 3) // 4:
+        walk(o_root)
+        if kept_states > (NODE_BUDGET * 3) // 4:
             # pruning failed to make room: last-resort full restart
             # (RestoreModel's free-everything arm)
             self.restart()
+            return
+
+        # pass 2a: rebuild surviving contexts + stats in a fresh arena
+        self._fresh_arena()
+        remap = {o_root: self.root}
+        order_walk = [o_root]
+        while order_walk:
+            oc = order_walk.pop()
+            nc = remap[oc]
+            for s, f, child in keep[oc]:
+                self._insert(nc, s, f)
+                if child >= 0:
+                    nchild = self._new_ctx(-1, o_order[child])
+                    i = self._find(nc, s)
+                    self.succ[i] = nchild
+                    remap[child] = nchild
+                    order_walk.append(child)
+        # pass 2b: suffix links, once the full survivor set is known -
+        # a suffix that points into a pruned context relinks to the
+        # nearest surviving ancestor on the old suffix chain (the
+        # reference's CutOff repairs suffixes the same way)
+        for oc, nc in remap.items():
+            if oc == o_root:
+                continue
+            s = o_sfx[oc]
+            while s >= 0 and s not in remap:
+                s = o_sfx[s]
+            self.sfx[nc] = remap[s] if s >= 0 else self.root
+        self.nodes = kept_states
+        self.cur = self.root  # active path may be gone; restart the walk
 
 
-def _spans(ctx, excluded):
+def _spans(m, c, excluded):
+    base = m.sptr[c] * UNIT_STATES
     items = [
-        (s, st[0]) for s, st in sorted(ctx.stats.items()) if s not in excluded
+        (m.sym[i], m.freq[i])
+        for i in range(base, base + m.nst[c])
+        if m.sym[i] not in excluded
     ]
     if not items:
         return None
@@ -200,30 +382,30 @@ def compress(data: bytes) -> bytes:
         ctx = m.cur
         matched_order = 0
         # walk the suffix chain, escape until the symbol is found
-        while ctx is not None:
-            sp = _spans(ctx, excluded)
+        while ctx >= 0:
+            sp = _spans(m, ctx, excluded)
             if sp is None:
-                ctx = ctx.suffix
+                ctx = m.sfx[ctx]
                 continue
             items, tot_inc = sp
-            if len(items) == 1 and ctx is not m.root:
+            if len(items) == 1 and ctx != m.root:
                 # deterministic context: dedicated binary estimator
                 s0, f0 = items[0]
-                p, bkey = m.bin_see.prob(ctx.order, f0)
+                p, bkey = m.bin_see.prob(m.order[ctx], f0)
                 if s0 == byte:
                     enc.encode(0, p, BIN_SCALE)
                     m.bin_see.update(bkey, True)
-                    matched_order = ctx.order
+                    matched_order = m.order[ctx]
                     break
                 enc.encode(p, BIN_SCALE - p, BIN_SCALE)
                 m.bin_see.update(bkey, False)
                 excluded.add(s0)
-                ctx = ctx.suffix
+                ctx = m.sfx[ctx]
                 continue
             esc, key = m.see.escape_weight(
-                min(ctx.order, MAX_ORDER), len(items), tot_inc
+                min(m.order[ctx], MAX_ORDER), len(items), tot_inc
             )
-            if ctx is m.root:
+            if ctx == m.root:
                 esc = 0 if len(excluded) + len(items) >= 256 else max(1, esc)
             cum = 0
             hit = None
@@ -236,7 +418,7 @@ def compress(data: bytes) -> bytes:
                 enc.encode(hit[0], hit[1], tot_inc + esc)
                 if esc:
                     m.see.update(key, False)
-                matched_order = ctx.order
+                matched_order = m.order[ctx]
                 break
             # escape
             if esc == 0:
@@ -244,7 +426,7 @@ def compress(data: bytes) -> bytes:
             enc.encode(tot_inc, esc, tot_inc + esc)
             m.see.update(key, True)
             excluded.update(s for s, _ in items)
-            ctx = ctx.suffix
+            ctx = m.sfx[ctx]
         else:
             # escaped everything incl. root: code raw under uniform over
             # the not-yet-excluded alphabet
@@ -267,31 +449,31 @@ def decompress(blob: bytes) -> bytes:
         ctx = m.cur
         matched_order = 0
         byte = None
-        while ctx is not None:
-            sp = _spans(ctx, excluded)
+        while ctx >= 0:
+            sp = _spans(m, ctx, excluded)
             if sp is None:
-                ctx = ctx.suffix
+                ctx = m.sfx[ctx]
                 continue
             items, tot_inc = sp
-            if len(items) == 1 and ctx is not m.root:
+            if len(items) == 1 and ctx != m.root:
                 s0, f0 = items[0]
-                p, bkey = m.bin_see.prob(ctx.order, f0)
+                p, bkey = m.bin_see.prob(m.order[ctx], f0)
                 f = dec.get_freq(BIN_SCALE)
                 if f < p:
                     dec.decode(0, p)
                     m.bin_see.update(bkey, True)
                     byte = s0
-                    matched_order = ctx.order
+                    matched_order = m.order[ctx]
                     break
                 dec.decode(p, BIN_SCALE - p)
                 m.bin_see.update(bkey, False)
                 excluded.add(s0)
-                ctx = ctx.suffix
+                ctx = m.sfx[ctx]
                 continue
             esc, key = m.see.escape_weight(
-                min(ctx.order, MAX_ORDER), len(items), tot_inc
+                min(m.order[ctx], MAX_ORDER), len(items), tot_inc
             )
-            if ctx is m.root:
+            if ctx == m.root:
                 esc = 0 if len(excluded) + len(items) >= 256 else max(1, esc)
             tot = tot_inc + esc
             f = dec.get_freq(tot)
@@ -307,12 +489,12 @@ def decompress(blob: bytes) -> bytes:
                 if esc:
                     m.see.update(key, False)
                 byte = hit[0]
-                matched_order = ctx.order
+                matched_order = m.order[ctx]
                 break
             dec.decode(tot_inc, esc)
             m.see.update(key, True)
             excluded.update(s for s, _ in items)
-            ctx = ctx.suffix
+            ctx = m.sfx[ctx]
         if byte is None:
             rest = [s for s in range(256) if s not in excluded]
             idx = dec.get_freq(len(rest))
