@@ -106,28 +106,30 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
     # 14-16 bit integers and need full f32 precision
     PX = jax.lax.Precision.HIGHEST
 
-    def read_one(x, rel, win3, tables_f, counts, row, active, single_row):
+    def read_one(x, rel, win3, tables_f, row, active, single_row):
         """One predicated CDF read across lanes.
 
-        Symbol, span start/freq and the count one-hot all derive from
-        one fence-compare tensor. Row-table select and the pair select
-        run as f32 contractions (MXU); the rANS update stays u32.
+        Symbol and span start/freq all derive from one fence-compare
+        tensor. Row-table select and the pair select run as f32
+        contractions (MXU); the rANS update stays u32. Symbol counts
+        are NOT accumulated here: the chunk driver recovers them from
+        the scanned-out symbols once per chunk (identical sums, ~1/clen
+        of the ops on this fixed-overhead-dominated step path).
         """
         f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
         if single_row:
-            tbl = tables_f[:, 0][:, None, :].astype(_I32)  # [B, 1, 17]
+            tbl = tables_f[:, 0][:, None, :].astype(_I32)  # [B, 1, W+1]
         else:
             row_oh = jax.nn.one_hot(row, tables_f.shape[1], dtype=f32)
             tbl = jnp.einsum("blr,brw->blw", row_oh, tables_f, precision=PX).astype(_I32)
-        cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)  # [B, L, 16]
+        cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)  # [B, L, W]
         dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]
         y = jnp.sum(cmp, axis=2)
         start = jnp.sum(cmp * dtbl, axis=2)
         cmp1 = jnp.concatenate(
             [jnp.ones((B, L, 1), _I32), cmp[:, :, :-1]], axis=2
         )
-        y16 = cmp1 - cmp  # one-hot of y over 16 symbols
-        freq = jnp.sum(y16 * dtbl, axis=2)
+        freq = jnp.sum((cmp1 - cmp) * dtbl, axis=2)
 
         x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
         renorm = active & (x2 < jnp.asarray(1 << 16, _U32))
@@ -143,22 +145,14 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
         rel = rel + jnp.sum(renorm.astype(_I32), axis=1)
 
         y = jnp.where(active, y, 0)
-        y16a = (cmp1 - cmp) * active.astype(_I32)[:, :, None]
-        if single_row:
-            counts = counts + jnp.sum(y16a, axis=1)[:, None, :]
-        else:
-            counts = counts + jnp.einsum(
-                "blr,bls->brs", row_oh, y16a.astype(f32), precision=PX
-            ).astype(_I32)
-        return y, x, rel, counts
+        return y, x, rel
 
     def make_step(win3):
         def step_body(carry, xs):
-            x, rel, tables_f, counts = carry
+            x, rel, tables_f = carry
             row0, active = xs
             ys = []
             y_prev = jnp.zeros((B, L), _I32)
-            new_counts = []
             for r in range(reads):
                 if r == 0:
                     row = row0
@@ -166,28 +160,51 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
                     row = row0 * 8 + y_prev
                 else:
                     row = y_prev
-                y, x, rel, cnt = read_one(
-                    x, rel, win3, tables_f[r], counts[r], row, active,
-                    spec.rows[r] == 1,
+                y, x, rel = read_one(
+                    x, rel, win3, tables_f[r], row, active, spec.rows[r] == 1
                 )
-                new_counts.append(cnt)
                 ys.append(y)
                 y_prev = y
-            return (x, rel, tables_f, tuple(new_counts)), tuple(ys)
+            return (x, rel, tables_f), tuple(ys)
         return step_body
+
+    def chunk_counts(ys, ctx_c, active_c):
+        """Per-read realized counts for one chunk, from the scan output:
+        one contraction per read instead of per step."""
+        acta = active_c.astype(f32)  # [clen, B, L]
+        out = []
+        y_prev = None
+        for r in range(reads):
+            if r == 0:
+                row = ctx_c
+            elif spec.name == "dst":
+                row = ctx_c * 8 + y_prev
+            else:
+                row = y_prev
+            y_oh = jax.nn.one_hot(ys[r], spec.alphabets[r], dtype=f32)
+            if spec.rows[r] == 1:
+                cnt = jnp.einsum(
+                    "tbl,tbls->bs", acta, y_oh, precision=PX
+                ).astype(_I32)[:, None, :]
+            else:
+                row_oh = jax.nn.one_hot(row, spec.rows[r], dtype=f32)
+                cnt = jnp.einsum(
+                    "tblr,tbls,tbl->brs", row_oh, y_oh, acta, precision=PX
+                ).astype(_I32)
+            out.append(cnt)
+            y_prev = ys[r]
+        return tuple(out)
 
     def chunk_body(carry, xs):
         x, tables, carries = carry
         ctx_c, active_c, win_c = xs
         win3 = win_c.reshape(B, WH // 8, 8).astype(f32)
         tables_f = tuple(t.astype(f32) for t in tables)
-        counts0 = tuple(
-            jnp.zeros((B, spec.rows[r], spec.alphabets[r]), _I32) for r in range(reads)
-        )
         rel0 = jnp.zeros((B,), _I32)  # window is per chunk: cursor resets
-        (x, _, _, counts), ys = jax.lax.scan(
-            make_step(win3), (x, rel0, tables_f, counts0), (ctx_c, active_c)
+        (x, _, _), ys = jax.lax.scan(
+            make_step(win3), (x, rel0, tables_f), (ctx_c, active_c)
         )
+        counts = chunk_counts(ys, ctx_c, active_c)
         new_carries = tuple(
             (carries[r] >> 1) + counts[r] for r in range(reads)
         )
@@ -337,7 +354,7 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         # with 2^14 past each plane's alphabet); dtbl: fence deltas
         # (padded with 0, so padded symbols never contribute to spans).
         def step_body(carry, active):
-            x, rels, counts = carry
+            x, rels = carry
 
             f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
             cmp = (f[:, :, None] >= fence1).astype(_I32)  # [B, LTOT, W]
@@ -360,16 +377,7 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             rels = rels + jnp.stack(totals, axis=1)
 
             y = jnp.where(active, y, 0)
-            y_oha = y_oh * active.astype(_I32)[:, :, None]
-            counts = tuple(
-                counts[p]
-                + jnp.sum(
-                    y_oha[:, _P1_BOUNDS[p][0] : _P1_BOUNDS[p][1], : _P1_ALPH[p]],
-                    axis=1,
-                )[:, None, :]
-                for p in range(4)
-            )
-            return (x, rels, counts), y
+            return (x, rels), y
 
         return step_body
 
@@ -393,10 +401,24 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         fence1 = jnp.concatenate(f1_parts, axis=1)
         dtbl = jnp.concatenate(dt_parts, axis=1)
 
-        counts0 = tuple(jnp.zeros_like(c) for c in carries)
         rel0 = jnp.zeros((B, 4), _I32)
-        (x, _, counts), ys = jax.lax.scan(
-            make_step(win3, fence1, dtbl), (x, rel0, counts0), active_c
+        (x, _), ys = jax.lax.scan(
+            make_step(win3, fence1, dtbl), (x, rel0), active_c
+        )
+        # realized symbol counts once per chunk from the scan output
+        # (identical sums to per-step accumulation, ~1/clen of the ops)
+        acta = active_c.astype(f32)  # [clen, B, LTOT]
+        counts = tuple(
+            jnp.einsum(
+                "tbl,tbls->bs",
+                acta[:, :, _P1_BOUNDS[p][0] : _P1_BOUNDS[p][1]],
+                jax.nn.one_hot(
+                    ys[:, :, _P1_BOUNDS[p][0] : _P1_BOUNDS[p][1]],
+                    _P1_ALPH[p], dtype=f32,
+                ),
+                precision=PX,
+            ).astype(_I32)[:, None, :]
+            for p in range(4)
         )
         new_carries = tuple((carries[p] >> 1) + counts[p] for p in range(4))
         new_tables = tuple(

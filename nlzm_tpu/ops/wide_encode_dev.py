@@ -53,60 +53,46 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
     syms_t = [s.reshape(B, steps, L).transpose(1, 0, 2) for s in syms]
     rows_t = [s.reshape(B, steps, L).transpose(1, 0, 2) for s in rows]
 
-    def span_one(tables_f, counts, row, y, active, single_row, alph):
-        """(start, freq) spans + count bump for one read (no rANS)."""
+    def span_chunk(tables, rw_c, y_oh, acta, single_row):
+        """(start, freq) for a whole chunk's symbols at once (tables are
+        chunk-static, so no per-step scan is needed on the encode side -
+        symbols are KNOWN; one fat contraction per chunk replaces clen
+        thin per-step ops)."""
+        tbl = tables.astype(f32)  # [B, rows, alph+1]
+        cum, dt = tbl[:, :, :-1], tbl[:, :, 1:] - tbl[:, :, :-1]
         if single_row:
-            tbl = tables_f[:, 0][:, None, :].astype(_I32)  # [B, 1, alph+1]
+            st = jnp.einsum("tbls,bs->tbl", y_oh, cum[:, 0], precision=PX)
+            fq = jnp.einsum("tbls,bs->tbl", y_oh, dt[:, 0], precision=PX)
+            cnt = jnp.einsum("tbls,tbl->bs", y_oh, acta, precision=PX)[:, None, :]
         else:
-            row_oh = jax.nn.one_hot(row, tables_f.shape[1], dtype=f32)
-            tbl = jnp.einsum("blr,brw->blw", row_oh, tables_f, precision=PX).astype(_I32)
-        y_oh = jax.nn.one_hot(y, alph, dtype=_I32)  # [B, L, alph]
-        dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]  # [B|1, L|1, alph]
-        cum = tbl[:, :, :-1]
-        start = jnp.sum(y_oh * cum, axis=2)
-        freq = jnp.sum(y_oh * dtbl, axis=2)
-        y_oha = y_oh * active.astype(_I32)[:, :, None]
-        if single_row:
-            counts = counts + jnp.sum(y_oha, axis=1)[:, None, :]
-        else:
-            counts = counts + jnp.einsum(
-                "blr,bls->brs", row_oh, y_oha.astype(f32), precision=PX
-            ).astype(_I32)
-        return start, freq, counts
-
-    def step_body(carry, xs):
-        tables_f, counts = carry
-        ys, rws, active = xs  # tuples of [B, L]
-        starts, freqs = [], []
-        new_counts = []
-        for r in range(R):
-            st, fq, cnt = span_one(
-                tables_f[r], counts[r], rws[r], ys[r], active,
-                spec.rows[r] == 1, spec.alphabets[r],
+            row_oh = jax.nn.one_hot(rw_c, tables.shape[1], dtype=f32)
+            st = jnp.einsum("tblr,tbls,brs->tbl", row_oh, y_oh, cum, precision=PX)
+            fq = jnp.einsum("tblr,tbls,brs->tbl", row_oh, y_oh, dt, precision=PX)
+            cnt = jnp.einsum(
+                "tblr,tbls,tbl->brs", row_oh, y_oh, acta, precision=PX
             )
-            starts.append(jnp.where(active, st, 0))
-            freqs.append(jnp.where(active, fq, 1))
-            new_counts.append(cnt)
-        return (tables_f, tuple(new_counts)), (
-            jnp.stack(starts, 0),
-            jnp.stack(freqs, 0),
-        )
+        return st.astype(_I32), fq.astype(_I32), cnt.astype(_I32)
 
     def chunk_body(carry, xs):
         tables, carries = carry
         ys_c, rws_c, active_c = xs  # [clen, ...]
-        tables_f = tuple(t.astype(f32) for t in tables)
-        counts0 = tuple(
-            jnp.zeros((B, spec.rows[r], spec.alphabets[r]), _I32) for r in range(R)
+        acta = active_c.astype(f32)
+        starts, freqs = [], []
+        new_tables, new_carries = [], []
+        for r in range(R):
+            y_oh = jax.nn.one_hot(ys_c[r], spec.alphabets[r], dtype=f32)
+            st, fq, cnt = span_chunk(
+                tables[r], rws_c[r], y_oh, acta, spec.rows[r] == 1
+            )
+            starts.append(jnp.where(active_c, st, 0))
+            freqs.append(jnp.where(active_c, fq, 1))
+            carry_r = (carries[r] >> 1) + cnt
+            new_carries.append(carry_r)
+            new_tables.append(_build_cdf_jnp(carry_r, spec.alphabets[r]))
+        return (tuple(new_tables), tuple(new_carries)), (
+            jnp.stack(starts, 1),  # [clen, R, B, L]
+            jnp.stack(freqs, 1),
         )
-        (_, counts), (st_c, fq_c) = jax.lax.scan(
-            step_body, (tables_f, counts0), (ys_c, rws_c, active_c)
-        )
-        new_carries = tuple((carries[r] >> 1) + counts[r] for r in range(R))
-        new_tables = tuple(
-            _build_cdf_jnp(new_carries[r], spec.alphabets[r]) for r in range(R)
-        )
-        return (new_tables, new_carries), (st_c, fq_c)
 
     if prior is None:
         tables0 = tuple(_uniform_tables(B, spec.rows[r], spec.alphabets[r]) for r in range(R))
