@@ -193,7 +193,16 @@ def encode_container(
                 op_len, op_val, op_rep, depths = parse_blocks_device(
                     data, block_size, hist_bits, parser
                 )
-                payloads, priors_blob = encode_wide_blocks(op_len, op_val, op_rep)
+                if engine == "tpu":
+                    # fully device-resident encode: device parse feeds the
+                    # device plane encoder (byte-identical to the host's)
+                    from ..ops.wide_encode_dev import encode_wide_blocks_tpu
+
+                    payloads, priors_blob = encode_wide_blocks_tpu(
+                        op_len, op_val, op_rep
+                    )
+                else:
+                    payloads, priors_blob = encode_wide_blocks(op_len, op_val, op_rep)
                 ncmds = [
                     int(np.argmax(op_len[:, b] < 0))
                     if (op_len[:, b] < 0).any()

@@ -107,3 +107,25 @@ def test_device_parse_big_blocks():
         data, block_size=131072, parser="optimal", profile="wide", engine="native"
     )
     assert len(dev) <= len(nat) * 1.02
+
+
+def test_wide_engine_tpu_uses_device_emitter():
+    """engine="tpu" wide encode is fully device-resident: device parse
+    feeds the device plane encoder, whose payloads are byte-identical to
+    the host encoder run on the same parsed ops."""
+    from nlzm_tpu import native
+    from nlzm_tpu.format.wide import encode_wide_blocks
+    from nlzm_tpu.ops.encode_ops import parse_blocks_device
+    from nlzm_tpu.parallel.blocks import block_payloads, parse_container
+    from nlzm_tpu.utils.corpus import build_nonperiodic
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    data = build_nonperiodic(100_000)
+    c = encode_container(
+        data, block_size=32768, parser="optimal", profile="wide", engine="tpu"
+    )
+    assert decode_container(c, engine="serial") == data
+    op_len, op_val, op_rep, _ = parse_blocks_device(data, 32768, 15, "optimal")
+    host_payloads, _ = encode_wide_blocks(op_len, op_val, op_rep)
+    assert block_payloads(c, parse_container(c)) == host_payloads
