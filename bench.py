@@ -209,49 +209,39 @@ def main() -> None:
     best = best_of(run_full)
     mbs = n / best / 1e6
 
-    # stage breakdown: cumulative sync points (scans -> +assembly ->
+    # stage breakdown: cumulative sync points (scan -> +assembly ->
     # +expansion); informational, measured with the same best-of
     from nlzm_tpu.ops.wide_decode import (
-        PLANES, assemble_post_dst, assemble_pre_dst, plane_scan,
-        plane_scan_fused)
+        PLANES, assemble_ops, plane_scan_fused)
     from nlzm_tpu.ops.expand_ops import lz_expand_parallel
     from nlzm_tpu.ops.sort_gather import PACK_MAX
+
+    NP = len(PLANES)
 
     def run_stages(upto):
         acc = jnp.zeros((), jnp.int32)
         for staged, _ in buckets:
-            B = staged["B"]
             n_sym, steps = staged["n_sym"], staged["steps"]
             seeds, wins = staged["seeds"], staged["wins"]
             priors = staged.get("priors")
-            pr = lambda name: tuple(priors[name]) if priors else None
-            padw = lambda i: steps[i] * PLANES[i].lanes
             big = info.block_size > PACK_MAX
             cap15 = (lambda a: a) if big else (
                 lambda a: a[:, : min(a.shape[1], 1 << 15)])
-            seeds_f = jnp.concatenate([seeds[i] for i in range(4)], axis=1)
-            nsyms_f = jnp.stack([n_sym[i] for i in range(4)], axis=1)
+            seeds_f = jnp.concatenate([seeds[i] for i in range(NP)], axis=1)
+            nsyms_f = jnp.stack([n_sym[i] for i in range(NP)], axis=1)
             priors_f = None
             if priors:
-                priors_f = (
-                    priors["tok"][0], priors["lit"][0],
-                    priors["len"][0], priors["lex"][0],
-                )
-            tok_y, lit_y, len_y, lex_y = plane_scan_fused(
-                seeds_f, tuple(wins[i] for i in range(4)), nsyms_f, steps[0],
+                priors_f = tuple(priors[PLANES[p].name][0] for p in range(NP))
+            ys = plane_scan_fused(
+                seeds_f, tuple(wins[i] for i in range(NP)), nsyms_f, steps[0],
                 priors_f)
-            tok_y, lit_y, len_y, lex_y = map(cap15, (tok_y, lit_y, len_y, lex_y))
-            pre = assemble_pre_dst(tok_y, n_sym[0], len_y, lex_y, padw(4), big)
-            is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = pre
-            slot_y = cap15(plane_scan(
-                seeds[4], wins[4], n_sym[4], lc_dict, 4, steps[4], pr("dst"))[0])
+            tok_y, lit_y, len_y, lex_y, slot_y = map(cap15, ys)
             if upto == "scans":
                 acc = acc + jnp.sum(slot_y) + jnp.sum(tok_y) + jnp.sum(lit_y)
                 continue
-            op_len, op_val = assemble_post_dst(
-                is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-                lit_y, slot_y, staged["bit_half"], n_sym[0],
-                big, wide_delta=dict_arr is not None)
+            op_len, op_val = assemble_ops(
+                tok_y, len_y, lex_y, lit_y, slot_y, staged["bit_half"],
+                n_sym[0], big, wide_delta=dict_arr is not None)
             if upto == "assembly":
                 acc = acc + jnp.sum(op_len) + jnp.sum(op_val)
                 continue

@@ -35,13 +35,13 @@ struct PlaneSpec {
   int alph[2];
   int rows[2];
 };
-// wire format v3: single-read joint alphabets (see format/wide.py PLANES)
+// wire format v4: single-read, context-free joint alphabets (format/wide.py)
 constexpr PlaneSpec kPlanes[5] = {
     {"tok", 64, 1, {4, 0}, {1, 0}},
     {"lit", 64, 1, {256, 0}, {1, 0}},
     {"len", 32, 1, {8, 0}, {1, 0}},
     {"lex", 16, 1, {256, 0}, {1, 0}},
-    {"dst", 32, 1, {64, 0}, {4, 0}},
+    {"dst", 32, 1, {64, 0}, {1, 0}},
 };
 constexpr int kNPlanes = 5;
 
@@ -195,7 +195,6 @@ static void classify_block(const i32* op_len, const i32* op_val, const i32* op_r
       lex.sym[0].push_back(ext);  // joint extension byte (wire v3)
       lex.row[0].push_back(0);
     }
-    int lc = lv < 3 ? (int)lv : 3;
     if (is_rep) {
       bit_seq.push_back((rep >> 1) & 1);
       bit_seq.push_back(rep & 1);
@@ -207,8 +206,8 @@ static void classify_block(const i32* op_len, const i32* op_val, const i32* op_r
       int ab = big ? nbits - 2 : 0;
       i64 slot = big ? (((i64)(nbits - 1) << 1) + ((dv >> ab) & 1)) : dv;
       i64 extra = dv & (((i64)1 << ab) - 1);
-      dst.sym[0].push_back((int)slot);  // joint 6-bit slot, lc row (wire v3)
-      dst.row[0].push_back(lc);
+      dst.sym[0].push_back((int)slot);  // joint 6-bit slot (wire v4)
+      dst.row[0].push_back(0);
       for (int j = 0; j < ab; j++) bit_seq.push_back((extra >> (ab - 1 - j)) & 1);
     }
   }

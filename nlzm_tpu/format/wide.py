@@ -8,10 +8,11 @@ TPU-first redesign of the same command stream:
 
 - **Planes.** Commands are split into independent symbol sequences:
   `tok` (literal/dict/rep), `lit` (whole literal byte), `len` (direct
-  length), `lex` (length extension byte), `dst` (distance slot, lc
-  context rows), plus a raw-bit plane (rep index, distance extra bits).
-  Every plane is single-read (wire v3): one CDF read and one rANS renorm
-  per symbol, over joint alphabets up to 256.
+  length), `lex` (length extension byte), `dst` (distance slot), plus a
+  raw-bit plane (rep index, distance extra bits). Every plane is
+  single-read and context-free (wire v4): one CDF read and one rANS
+  renorm per symbol, over joint alphabets up to 256, so ALL five planes
+  decode in one fused scan.
 - **Lane-parallel rANS.** Each plane interleaves L independent rANS lanes
   (round-robin by symbol). Renorm byte pairs are laid out in exact decode
   order (step, read, lane), so a step fetches ONE contiguous window of
@@ -96,31 +97,34 @@ class PlaneSpec:
         return CHUNK_STEPS * self.lanes
 
 
-# Wire v3: every plane is SINGLE-READ over a joint alphabet. lit carries
-# the whole byte (256 symbols: the exact joint of the old hi/lo nibble
-# factorization P(hi) * P(lo|hi)), lex the whole extension byte, dst the
-# whole 6-bit slot conditioned on lc (4 rows: same expressiveness as the
-# old hi/lo split, P(slot|lc) = P(hi|lc) * P(lo|lc,hi)). One read per
-# symbol = ONE rANS renorm per symbol and no read-1 machinery in the
-# decoder's fused scan; the fence compare runs at the joint width
-# against chunk-static tables hoisted out of the step loop.
+# Wire v4: every plane is SINGLE-READ over a joint alphabet with NO
+# context rows. lit carries the whole byte (256 symbols: the exact
+# joint of the old hi/lo nibble factorization P(hi) * P(lo|hi)), lex
+# the whole extension byte, dst the whole 6-bit slot UNCONDITIONED
+# (v3's 4 lc rows measured 0.5% WORSE here: row-splitting dilutes the
+# chunk-rebuilt table statistics more than the context helps, unlike
+# the reference's continuously-adaptive CDFs where splitting is almost
+# free). One read per symbol = ONE rANS renorm per symbol; with all
+# five planes context-free the decoder runs a SINGLE fused scan - the
+# dst plane no longer waits for assembled lc context.
 #
 # Lane counts are a throughput/ratio knob: steps per scan shrink with L
 # while the rANS seed overhead grows (4 B per lane per block) and chunk
 # adaptation coarsens (chunk_syms = CHUNK_STEPS * L). v3 = 2x the
 # round-2 lanes with CHUNK_STEPS 16 -> 8 (per-symbol rebuild cadence
 # unchanged); 208 lanes x 4 B = 832 B/block of seeds, half of wire v2's.
-# rows: dst read conditions on lc (clip(lv, 0, 3)); all others row 0.
-# Measured (16 MiB non-periodic corpus): wide+dict 0.4746 at 32 KiB
-# blocks (v2 0.4946, round-2 lanes 0.4652), 0.4307 at 128 KiB (v2
-# 0.4525, round-2 0.4342) - the joint alphabets' finer adaptation more
-# than pays back v2's ratio regression while keeping scan steps / 2.
+# Measured (16 MiB non-periodic corpus, wide+dict): v4 0.4706 at 32 KiB
+# blocks / 0.4389 at 128 KiB+64K dict (v3 with lc rows: 0.4746/0.4432;
+# v2 nibble planes: 0.4946; round-2 lanes: 0.4652) - the joint
+# alphabets' finer adaptation more than pays back v2's ratio regression
+# while keeping scan steps / 2, and dropping the lc rows both fuses the
+# dst scan and gains ~0.8%.
 PLANES = (
     PlaneSpec("tok", 64, 1, (4,), (1,)),
     PlaneSpec("lit", 64, 1, (256,), (1,)),
     PlaneSpec("len", 32, 1, (8,), (1,)),
     PlaneSpec("lex", 16, 1, (256,), (1,)),
-    PlaneSpec("dst", 32, 1, (64,), (4,)),
+    PlaneSpec("dst", 32, 1, (64,), (1,)),
 )
 N_PLANES = len(PLANES)
 HDR_BYTES = 8 * N_PLANES + 4
@@ -373,12 +377,9 @@ def _plane_symbol_data(op_len, op_val, op_rep):
     len_sym = np.minimum(lv, 7)
     esc = lv >= 7
     ext = lv[esc] - 7  # <= 255: one joint extension byte
-    lc = np.minimum(lv, 3)
 
-    dict_in_m = is_dict[is_match]
     dv = op_val[is_dict] - 1
     slot, ab, extra = dist_slot_of(dv)
-    lc_d = lc[dict_in_m]
 
     # raw-bit plane, command order: rep -> 2-bit index; dict -> ab bits
     widths = np.where(is_rep, 2, 0).astype(np.int64)
@@ -394,7 +395,7 @@ def _plane_symbol_data(op_len, op_val, op_rep):
         "lit": ([lit_b], [z(lit_b)]),
         "len": ([len_sym], [z(len_sym)]),
         "lex": ([ext], [z(ext)]),
-        "dst": ([slot], [lc_d]),
+        "dst": ([slot], [z(slot)]),
     }, bits
 
 
@@ -670,6 +671,10 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
         simple_rows(PLANES[3])
     )[0]
 
+    slot_arr = _PlaneDecoder(PLANES[4], streams[4], counts[4], prior_of("dst"), offsets[4]).decode(
+        simple_rows(PLANES[4])
+    )[0]
+
     # assembly (sequential host mirror)
     T = counts[0]
     is_lit = tok == TOK_LIT
@@ -679,24 +684,6 @@ def decode_wide_block(payload: bytes, priors_blob: bytes | None = None):
     esc = len_sym[:n_match] == 7
     lv = len_sym[:n_match].copy()
     lv[esc] = 7 + ext[: int(esc.sum())]
-    lc = np.minimum(lv, 3)
-    # dst rows need lc per dict match
-    m_of_cmd = np.cumsum(~is_lit) - 1
-    dict_mask_m = np.zeros(n_match, bool)
-    dict_mask_m[m_of_cmd[is_dict]] = True
-    lc_d = lc[dict_mask_m]
-
-    spec_d = PLANES[4]
-
-    def dst_rows(r, t, ys):
-        L = spec_d.lanes
-        lo = t * L
-        seg = np.zeros(L, np.int64)
-        seg_src = lc_d[lo : lo + L]
-        seg[: len(seg_src)] = seg_src
-        return seg
-
-    slot_arr = _PlaneDecoder(spec_d, streams[4], counts[4], prior_of("dst"), offsets[4]).decode(dst_rows)[0]
 
     # raw bits
     bit_arr = np.unpackbits(np.frombuffer(bits, np.uint8))

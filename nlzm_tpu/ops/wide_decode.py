@@ -262,24 +262,24 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
     )
 
 
-# ---------------------------------------------------- fused phase-1 scan
-# The tok/lit/len/lex planes are all single-read with context-free row-0
-# tables (wire v3), so their scans fuse into ONE: all their lanes advance
-# together per step through one fence compare, one rANS update and one
-# window select - per-step op count is what the chip bills for at these
-# tensor sizes (~8us fixed cost per op), and the fused scan runs
-# max(steps_p) steps instead of sum(steps_p). The fence compare runs at
-# the joint width (256) against per-chunk-static tables hoisted OUT of
-# the step loop (built once per chunk in chunk_body; planes with smaller
-# alphabets pad their fences with 2^14, which no 14-bit rANS state ever
-# reaches, so padded columns never match). The dst plane keeps its own
-# scan (its row needs the assembled lc context). Stream consumption per
-# plane is unchanged byte-for-byte: each plane keeps its own window,
-# cursor and chunk schedule prefix.
-_P1_L = tuple(PLANES[i].lanes for i in range(4))  # tok, lit, len, lex
-_P1_BASE = tuple(int(np.cumsum((0,) + _P1_L)[i]) for i in range(4))
+# -------------------------------------------------------- the fused scan
+# ALL FIVE planes are single-read with context-free row-0 tables (wire
+# v4), so their scans fuse into ONE: every lane advances together per
+# step through one fence compare, one rANS update and one window select
+# - per-step op count is what the chip bills for at these tensor sizes
+# (~8us fixed cost per op), and the fused scan runs max(steps_p) steps
+# instead of sum(steps_p). The fence compare runs at the joint width
+# (256) against per-chunk-static tables hoisted OUT of the step loop
+# (built once per chunk in chunk_body; planes with smaller alphabets pad
+# their fences with 2^14, which no 14-bit rANS state ever reaches, so
+# padded columns never match). Stream consumption per plane is unchanged
+# byte-for-byte: each plane keeps its own window, cursor and chunk
+# schedule prefix.
+_NP = len(PLANES)
+_P1_L = tuple(PLANES[i].lanes for i in range(_NP))  # tok,lit,len,lex,dst
+_P1_BASE = tuple(int(np.cumsum((0,) + _P1_L)[i]) for i in range(_NP))
 _P1_LTOT = sum(_P1_L)
-_P1_ALPH = tuple(PLANES[i].alphabets[0] for i in range(4))
+_P1_ALPH = tuple(PLANES[i].alphabets[0] for i in range(_NP))
 _P1_BOUNDS = tuple((b, b + l) for b, l in zip(_P1_BASE, _P1_L))
 _P1_W = max(_P1_ALPH)  # joint compare width
 
@@ -301,13 +301,13 @@ def _seg_ranks(renorm, bounds):
 
 @partial(jax.jit, static_argnames=("steps",))
 def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
-    """Decode tok+lit+len+lex for all blocks in one fused scan.
+    """Decode ALL planes (tok+lit+len+lex+dst) in one fused scan.
 
-    seeds: [B, LTOT] u32 lane states (tok|lit|len|lex). wins: tuple of 4
-    per-plane [NC, B, WH_p] chunk windows (NC = global chunk count for
-    `steps`). n_syms: [B, 4] per-plane symbol counts. priors: optional
-    4-tuple (tok, lit, len, lex) of [1, alph] counts.
-    Returns (tok_y, lit_y, len_y, lex_y); plane p's array is
+    seeds: [B, LTOT] u32 lane states (tok|lit|len|lex|dst). wins: tuple
+    of per-plane [NC, B, WH_p] chunk windows (NC = global chunk count
+    for `steps`). n_syms: [B, NP] per-plane symbol counts. priors:
+    optional NP-tuple of [1, alph] counts.
+    Returns (tok_y, lit_y, len_y, lex_y, slot_y); plane p's array is
     [B, steps * L_p].
     """
     from ..format.wide import chunk_schedule
@@ -315,7 +315,7 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     B = seeds.shape[0]
     NC = wins[0].shape[0]
     WHs = tuple(int(w.shape[2]) for w in wins)
-    base_w = (0, WHs[0], WHs[0] + WHs[1], WHs[0] + WHs[1] + WHs[2])
+    base_w = tuple(int(x) for x in np.cumsum((0,) + WHs)[:_NP])
     WH_cat = sum(WHs)
     pad = (-WH_cat) % 8
     WHc = WH_cat + pad
@@ -388,7 +388,7 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         # hoist the per-lane fence/delta tables out of the step loop:
         # tables change only at chunk boundaries
         f1_parts, dt_parts = [], []
-        for p in range(4):
+        for p in range(_NP):
             t = tables[p]  # [B, 1, alph+1]
             f1 = t[:, :, 1:]
             dt = t[:, :, 1:] - t[:, :, :-1]
@@ -401,7 +401,7 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         fence1 = jnp.concatenate(f1_parts, axis=1)
         dtbl = jnp.concatenate(dt_parts, axis=1)
 
-        rel0 = jnp.zeros((B, 4), _I32)
+        rel0 = jnp.zeros((B, _NP), _I32)
         (x, _), ys = jax.lax.scan(
             make_step(win3, fence1, dtbl), (x, rel0), active_c
         )
@@ -418,24 +418,24 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
                 ),
                 precision=PX,
             ).astype(_I32)[:, None, :]
-            for p in range(4)
+            for p in range(_NP)
         )
-        new_carries = tuple((carries[p] >> 1) + counts[p] for p in range(4))
+        new_carries = tuple((carries[p] >> 1) + counts[p] for p in range(_NP))
         new_tables = tuple(
-            _build_cdf_jnp(new_carries[p], _P1_ALPH[p]) for p in range(4)
+            _build_cdf_jnp(new_carries[p], _P1_ALPH[p]) for p in range(_NP)
         )
         return (x, new_tables, new_carries), ys
 
     if priors is None:
-        tables0 = tuple(_uniform_tables(B, 1, _P1_ALPH[p]) for p in range(4))
-        carries0 = tuple(jnp.zeros((B, 1, _P1_ALPH[p]), _I32) for p in range(4))
+        tables0 = tuple(_uniform_tables(B, 1, _P1_ALPH[p]) for p in range(_NP))
+        carries0 = tuple(jnp.zeros((B, 1, _P1_ALPH[p]), _I32) for p in range(_NP))
     else:
         carries0 = tuple(
             jnp.broadcast_to(priors[p][None], (B, 1, _P1_ALPH[p])).astype(_I32)
-            for p in range(4)
+            for p in range(_NP)
         )
         tables0 = tuple(
-            _build_cdf_jnp(carries0[p], _P1_ALPH[p]) for p in range(4)
+            _build_cdf_jnp(carries0[p], _P1_ALPH[p]) for p in range(_NP)
         )
 
     schedule = chunk_schedule(steps)
@@ -463,39 +463,11 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     y0 = jnp.concatenate(ys_parts, axis=0).transpose(1, 0, 2)  # [B, steps, LTOT]
     return tuple(
         y0[:, :, _P1_BOUNDS[p][0] : _P1_BOUNDS[p][1]].reshape(B, steps * _P1_L[p])
-        for p in range(4)
+        for p in range(_NP)
     )
 
 
 # ------------------------------------------------------------- assembly
-@partial(jax.jit, static_argnames=("dst_width", "big"))
-def assemble_pre_dst(tok_y, n_cmds, len_y, lex_y, dst_width, big=False):
-    """Stage A: everything decodable before the dst plane (whose scan
-    needs the lc context). Returns per-command arrays + dst ctx.
-
-    big selects the 2-operand sort primitives (no 15-bit packing budget)
-    for block sizes above PACK_MAX."""
-    G = gather_sorted2 if big else gather_sorted
-    C = compact_by_rank2 if big else compact_by_rank
-    B, Tc = tok_y.shape
-    k = jnp.arange(Tc, dtype=_I32)[None, :]
-    active = k < n_cmds[:, None]
-    is_lit = active & (tok_y == TOK_LIT)
-    is_rep = active & (tok_y == TOK_REP)
-    is_dict = active & (tok_y == TOK_DICT)
-    is_match = is_rep | is_dict
-
-    m_rank = jnp.cumsum(is_match.astype(_I32), axis=1) - is_match.astype(_I32)
-    len_sym = jnp.where(is_match, G(len_y, m_rank), 0)
-    esc = is_match & (len_sym == 7)
-    lex_rank = jnp.cumsum(esc.astype(_I32), axis=1) - esc.astype(_I32)
-    ext = jnp.where(esc, G(lex_y, lex_rank), 0)
-    lv = jnp.where(esc, 7 + ext, len_sym)
-    lc = jnp.clip(lv, 0, 3)
-
-    d_rank = jnp.cumsum(is_dict.astype(_I32), axis=1) - is_dict.astype(_I32)
-    lc_dict = C(lc, d_rank, is_dict, dst_width)
-    return is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict
 
 
 def _bits_fetch(bit_half, offs, width, big=False):
@@ -522,23 +494,40 @@ def _bits_fetch(bit_half, offs, width, big=False):
 
 
 @partial(jax.jit, static_argnames=("big", "wide_delta"))
-def assemble_post_dst(
-    is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-    lit_y, slot_y, bit_half, n_cmds, big=False,
+def assemble_ops(
+    tok_y, len_y, lex_y, lit_y, slot_y, bit_half, n_cmds, big=False,
     wide_delta=False,
 ):
-    """Stage B: distances, rep resolution, literals, raw bits ->
-    (op_len [Tc, B], op_val [Tc, B]) for lz_expand_parallel.
+    """Scan-free command assembly: plane symbols -> (op_len [Tc, B],
+    op_val [Tc, B]) for lz_expand_parallel. One jit covers lengths,
+    distances, rep resolution, literals and raw bits (wire v4's
+    context-free dst removed the mid-assembly dst-scan dependency that
+    used to split this into two stages).
 
-    wide_delta: deltas may use 16 bits (shared dictionary reach); the
-    delta compact/gather pair switches to the 16-bit-payload packings."""
+    big selects the 2-operand sort primitives (no 15-bit packing budget)
+    for block sizes above PACK_MAX. wide_delta: deltas may use 16 bits
+    (shared dictionary reach); the delta compact/gather pair switches to
+    the 16-bit-payload packings."""
     G = gather_sorted2 if big else gather_sorted
     C = compact_by_rank2 if big else compact_by_rank
     # delta values (only) can exceed the 15-bit payload with a dictionary
     Gd = gather_sorted2 if big else (gather_sorted16 if wide_delta else gather_sorted)
     Cd = compact_by_rank2 if big else (compact_by_rank16 if wide_delta else compact_by_rank)
-    B, Tc = is_lit.shape
-    active = is_lit | is_rep | is_dict
+    B, Tc = tok_y.shape
+    k = jnp.arange(Tc, dtype=_I32)[None, :]
+    active = k < n_cmds[:, None]
+    is_lit = active & (tok_y == TOK_LIT)
+    is_rep = active & (tok_y == TOK_REP)
+    is_dict = active & (tok_y == TOK_DICT)
+    is_match = is_rep | is_dict
+
+    m_rank = jnp.cumsum(is_match.astype(_I32), axis=1) - is_match.astype(_I32)
+    len_sym = jnp.where(is_match, G(len_y, m_rank), 0)
+    esc = is_match & (len_sym == 7)
+    lex_rank = jnp.cumsum(esc.astype(_I32), axis=1) - esc.astype(_I32)
+    ext = jnp.where(esc, G(lex_y, lex_rank), 0)
+    lv = jnp.where(esc, 7 + ext, len_sym)
+    d_rank = jnp.cumsum(is_dict.astype(_I32), axis=1) - is_dict.astype(_I32)
 
     slot = jnp.where(is_dict, G(slot_y, d_rank), 0)  # slot_y is dict-aligned
     is_big_slot = slot >= 4
@@ -573,7 +562,6 @@ def assemble_post_dst(
         + (delta > 0xFFF).astype(_I32)
         + (delta > 0xFFFFF).astype(_I32)
     )
-    is_match = is_rep | is_dict
     op_len = jnp.where(active, jnp.where(is_match, lv + mmin, 0), -1)
     op_val = jnp.where(is_match, delta, byte)
     return op_len.T, op_val.T
@@ -660,10 +648,11 @@ def prepare_wide(payloads, priors_blob: bytes | None = None):
         padded_steps(int(counts[:, i].max()), PLANES[i].lanes)
         for i in range(N_PLANES)
     ]
-    # phase-1 planes share one fused scan: one global step count (the max
-    # is itself a valid schedule sum), windows staged to its chunk count
-    steps_fused = max(steps_g[:4])
-    steps_g = [steps_fused] * 4 + [steps_g[4]]
+    # all five planes share one fused scan (wire v4: every plane is
+    # context-free): one global step count (the max is itself a valid
+    # schedule sum), windows staged to its chunk count
+    steps_fused = max(steps_g)
+    steps_g = [steps_fused] * N_PLANES
 
     seeds_l, wins_l = [], []
     for i in range(N_PLANES):
@@ -706,37 +695,23 @@ def decode_wide_staged(staged, block_size: int):
     n_sym, steps = staged["n_sym"], staged["steps"]
     seeds, wins = staged["seeds"], staged["wins"]
     priors = staged.get("priors")
-    pr = lambda name: tuple(priors[name]) if priors else None
-    padw = lambda i: steps[i] * PLANES[i].lanes
     big = block_size > PACK_MAX  # 2-operand sort path for > 32 KiB blocks
     # plane pad can exceed the 15-bit packed-sort budget by one chunk;
     # symbol counts never do (every command produces >= 1 byte)
     cap15 = (lambda a: a) if big else (lambda a: a[:, : min(a.shape[1], 1 << 15)])
 
-    seeds_f = jnp.concatenate([seeds[i] for i in range(4)], axis=1)
-    nsyms_f = jnp.stack([n_sym[i] for i in range(4)], axis=1)
+    seeds_f = jnp.concatenate([seeds[i] for i in range(_NP)], axis=1)
+    nsyms_f = jnp.stack([n_sym[i] for i in range(_NP)], axis=1)
     priors_f = None
     if priors:
-        priors_f = (
-            priors["tok"][0], priors["lit"][0],
-            priors["len"][0], priors["lex"][0],
-        )
-    tok_y, lit_y, len_y, lex_y = plane_scan_fused(
-        seeds_f, tuple(wins[i] for i in range(4)), nsyms_f, steps[0], priors_f
+        priors_f = tuple(priors[PLANES[p].name][0] for p in range(_NP))
+    ys = plane_scan_fused(
+        seeds_f, tuple(wins[i] for i in range(_NP)), nsyms_f, steps[0], priors_f
     )
-    tok_y, lit_y, len_y, lex_y = map(cap15, (tok_y, lit_y, len_y, lex_y))
-    scan = lambda i, ctx: plane_scan(
-        seeds[i], wins[i], n_sym[i], ctx, i, steps[i], pr(PLANES[i].name)
-    )
+    tok_y, lit_y, len_y, lex_y, slot_y = map(cap15, ys)
 
-    is_lit, is_rep, is_dict, lv, lc, m_rank, d_rank, lc_dict = assemble_pre_dst(
-        tok_y, n_sym[0], len_y, lex_y, padw(4), big
-    )
-    slot_y = cap15(scan(4, lc_dict)[0])
-
-    op_len, op_val = assemble_post_dst(
-        is_lit, is_rep, is_dict, lv, m_rank, d_rank,
-        lit_y, slot_y, staged["bit_half"], n_sym[0], big,
+    op_len, op_val = assemble_ops(
+        tok_y, len_y, lex_y, lit_y, slot_y, staged["bit_half"], n_sym[0], big,
         wide_delta=dict_arr is not None,
     )
     return lz_expand_parallel(op_len, op_val, block_size, rounds_hint, dict_arr)

@@ -39,7 +39,7 @@ from ..constants import frame_bits_for
 from ..lz.encoder import SerialEncoder
 
 MAGIC = b"NLZP"
-VERSION = 3  # v3: single-read joint-alphabet wide planes (format/wide.py)
+VERSION = 4  # v4: single-read, context-free wide planes (format/wide.py)
 _HDR = struct.Struct(">4sBBBBIQI")
 _BLK = struct.Struct(">III")
 FLAG_CRC32 = 0x01  # u32be CRC of the uncompressed data follows the header

@@ -53,7 +53,8 @@ def test_host_roundtrip_with_priors():
 @pytest.mark.parametrize("plane_idx", [1, 4])
 def test_device_plane_matches_host_encoder(plane_idx):
     """Generic plane_scan vs the host encoder: lit (256-symbol joint
-    alphabet, single row) and dst (64 symbols, 4 lc context rows)."""
+    alphabet) and dst (64 symbols); both single-row under wire v4 (the
+    test still drives the generic multi-row machinery when rows > 1)."""
     import jax.numpy as jnp
 
     from nlzm_tpu.ops.wide_decode import plane_scan
