@@ -92,7 +92,40 @@ def best_of(fn, reps=REPS):
     return min(times)
 
 
+def _wait_for_chip(attempts: int = 8, probe_timeout: int = 120, sleep_s: int = 60) -> None:
+    """Block until the tunneled TPU answers a trivial dispatch.
+
+    The relay can be down (backend init raises) or half-open (dispatch
+    hangs forever); both would take the whole bench run with them, so
+    the probe runs in a SUBPROCESS with a hard timeout and retries for
+    a few minutes before giving up loudly."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "assert float(jnp.sum(jnp.arange(8.0))) == 28.0"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=probe_timeout,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            msg = r.stderr.decode(errors="replace").strip().splitlines()
+            err = msg[-1] if msg else "nonzero exit"
+        except subprocess.TimeoutExpired:
+            err = f"dispatch hang (> {probe_timeout}s)"
+        print(f"bench: chip probe {i + 1}/{attempts} failed: {err}",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    raise RuntimeError("TPU unreachable after retries; not benching")
+
+
 def main() -> None:
+    _wait_for_chip()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".build" / "jaxcache"))
