@@ -320,7 +320,7 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     pad = (-WH_cat) % 8
     WHc = WH_cat + pad
     wins_cat = jnp.concatenate(
-        list(wins) + ([jnp.zeros((NC, B, pad), _I32)] if pad else []), axis=2
+        list(wins) + ([jnp.zeros((NC, B, pad), wins[0].dtype)] if pad else []), axis=2
     )
 
     f32 = jnp.float32
@@ -578,13 +578,16 @@ def rounds_hint_of(max_depth: int):
 
 
 def stage_plane(stream_list, offset_list, plane_idx: int, steps: int):
-    """Stage one plane's streams as (seeds [B, L] u32, wins [NC, B, WH] i32).
+    """Stage one plane's streams as (seeds [B, L] u32, wins [NC, B, WH] u16).
 
     wins holds each chunk's renorm pairs as big-endian values, dense and
     zero-padded to WH (the max pair count of any (block, chunk)); block
     offsets pad to the global chunk count by repeating the stream end.
     Window building is one vectorized numpy take (the per-(block, chunk)
     slice loop was the dominant host staging cost at container scale).
+    Windows ship as uint16 - half the bytes over the host->device relay,
+    the per-byte cost that dominates container-scale staging - and widen
+    to f32 on device, once per chunk.
     """
     from ..format.wide import chunk_schedule
 
@@ -597,7 +600,7 @@ def stage_plane(stream_list, offset_list, plane_idx: int, steps: int):
     hw_lens = np.asarray([(len(s) - 4 * L) // 2 for s in stream_list], np.int64)
     hw_flat = np.frombuffer(
         b"".join(s[4 * L :] for s in stream_list), ">u2"
-    ).astype(np.int32)
+    ).astype(np.uint16)
     hw_base = np.zeros(B + 1, np.int64)
     np.cumsum(hw_lens, out=hw_base[1:])
 
@@ -608,14 +611,14 @@ def stage_plane(stream_list, offset_list, plane_idx: int, steps: int):
     pair_counts = (offs[:, 1:] - offs[:, :-1]) // 2  # [B, NC]
     WH = max(8, int(-(-pair_counts.max() // 8)) * 8)
     if len(hw_flat) == 0:
-        return jnp.asarray(seeds), jnp.zeros((NC, B, WH), _I32)
+        return jnp.asarray(seeds), jnp.zeros((NC, B, WH), jnp.uint16)
     # wins[c, b, k] = hw[b][offs[b, c]/2 + k] for k < pair_counts[b, c]
     k = np.arange(WH, dtype=np.int64)
     idx = hw_base[:-1][:, None, None] + offs[:, :-1, None] // 2 + k  # [B, NC, WH]
     mask = k < pair_counts[:, :, None]
     wins = np.where(
         mask, np.take(hw_flat, np.minimum(idx, len(hw_flat) - 1)), 0
-    ).transpose(1, 0, 2).astype(np.int32)
+    ).transpose(1, 0, 2).astype(np.uint16)
     return jnp.asarray(seeds), jnp.asarray(np.ascontiguousarray(wins))
 
 

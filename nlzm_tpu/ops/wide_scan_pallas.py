@@ -258,7 +258,7 @@ def fused_scan_pallas(seeds, wins, n_syms, steps: int, priors=None,
     whc = int(-(-sum(WHs) // 8) * 8)
     pad = whc - sum(WHs)
     wins_cat = jnp.concatenate(
-        list(wins) + ([jnp.zeros((NC, B, pad), _I32)] if pad else []), axis=2
+        list(wins) + ([jnp.zeros((NC, B, pad), wins[0].dtype)] if pad else []), axis=2
     )
 
     # pad B to a multiple of BT with inert blocks
@@ -270,7 +270,7 @@ def fused_scan_pallas(seeds, wins, n_syms, steps: int, priors=None,
         seeds = zpad(seeds)
         n_syms = zpad(n_syms)
         wins_cat = jnp.concatenate(
-            [wins_cat, jnp.zeros((NC, Bp - B, whc), _I32)], axis=1
+            [wins_cat, jnp.zeros((NC, Bp - B, whc), wins_cat.dtype)], axis=1
         )
 
     # per-lane symbol counts (pad lanes: 0)
