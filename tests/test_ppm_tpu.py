@@ -28,7 +28,7 @@ def test_roundtrip_random(corpus_samples):
 
 
 def test_mesh_sharded_decode(corpus_text):
-    """NLZC v3 (with shipped prior) decodes block-sharded on the virtual device mesh."""
+    """NLZC v4 (with shipped prior) decodes block-sharded on the virtual device mesh."""
     import jax
     import numpy as np
     from jax.sharding import Mesh
