@@ -103,6 +103,7 @@ def _wait_for_chip(attempts: int = 8, probe_timeout: int = 120, sleep_s: int = 6
 
     probe = (
         "import jax, jax.numpy as jnp;"
+        "assert jax.devices()[0].platform != 'cpu', 'silent CPU fallback';"
         "assert float(jnp.sum(jnp.arange(8.0))) == 28.0"
     )
     for i in range(attempts):
@@ -181,7 +182,11 @@ def main() -> None:
                 for r in range(spec.reads))
             staged_enc.append((
                 tuple(jnp.asarray(s, jnp.int32) for s in syms_p),
-                tuple(jnp.asarray(s, jnp.int32) for s in rows_p),
+                tuple(
+                    None if spec.rows[r] == 1
+                    else jnp.asarray(rows_p[r], jnp.int32)
+                    for r in range(spec.reads)
+                ),
                 jnp.asarray(counts, jnp.int32), i, steps, prior))
         enc_staging = time.time() - t0
 

@@ -33,7 +33,11 @@ _U32 = jnp.uint32
 def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
     """Encode one plane for all blocks.
 
-    syms/rows: per read r, [B, steps*L] i32 symbol / context-row arrays.
+    syms/rows: per read r, [B, steps*L] i32 symbol / context-row arrays;
+    rows[r] may be None for single-row reads (no context; avoids
+    shipping a same-shaped all-zero array to the device - at container
+    scale those dead transfers dominated the relay cost of the
+    device-resident encode path).
     n_sym: [B] symbol counts. prior: optional per-read [rows, 16] counts.
     Returns (seeds [B, L] u32 final lane states, pairs [B, steps*R*L]
     i32 renorm pair values in decode order, flags [B, steps*R*L] bool
@@ -51,7 +55,11 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
         (t_iota[:, None, None] * L + lane_iota[None, None, :]) < n_sym[None, :, None]
     )  # [steps, B, L]
     syms_t = [s.reshape(B, steps, L).transpose(1, 0, 2) for s in syms]
-    rows_t = [s.reshape(B, steps, L).transpose(1, 0, 2) for s in rows]
+    rows_t = [
+        jnp.zeros((steps, B, 1), _I32) if rows[r] is None
+        else rows[r].reshape(B, steps, L).transpose(1, 0, 2)
+        for r in range(R)
+    ]
 
     def span_chunk(tables, rw_c, y_oh, acta, single_row):
         """(start, freq) for a whole chunk's symbols at once (tables are
@@ -124,7 +132,9 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
     for clen, count in runs:
         seg = slice(t0, t0 + clen * count)
         ys_x = tuple(s[seg].reshape(count, clen, B, L) for s in syms_t)
-        rw_x = tuple(s[seg].reshape(count, clen, B, L) for s in rows_t)
+        rw_x = tuple(
+            s[seg].reshape(count, clen, B, s.shape[2]) for s in rows_t
+        )
         act_x = active_t[seg].reshape(count, clen, B, L)
         carry, (st_c, fq_c) = jax.lax.scan(chunk_body, carry, (ys_x, rw_x, act_x))
         st_parts.append(st_c.reshape(count * clen, R, B, L))
@@ -176,7 +186,10 @@ def encode_planes_device(batched, priors=None):
             )
         seeds, pa, ma = plane_encode(
             tuple(jnp.asarray(s, _I32) for s in syms_p),
-            tuple(jnp.asarray(s, _I32) for s in rows_p),
+            tuple(
+                None if spec.rows[r] == 1 else jnp.asarray(rows_p[r], _I32)
+                for r in range(spec.reads)
+            ),
             jnp.asarray(counts, _I32),
             i, steps, prior,
         )

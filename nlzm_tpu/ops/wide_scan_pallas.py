@@ -18,10 +18,15 @@ Layout choices:
 - grid = (B/BT, NC) with chunks minor: scratch state (lane rANS states,
   window cursors, count carries) persists across the chunk dimension and
   re-initializes at chunk 0 of each block tile.
-- ys are written per chunk at dynamic step offsets (prefetched schedule
-  arrays give each chunk's step offset/length); warmup chunks write
-  their full 8-row tile into slack that later chunks overwrite in grid
-  order, so the output buffer carries 8 rows of tail padding.
+- ys are written per chunk at dynamic step offsets; the chunk schedule
+  (warmup then full steady chunks) is closed-form, so each chunk's step
+  offset/length derive from program_id arithmetic. Warmup chunks write
+  their full steady-length row tile into slack that later chunks
+  overwrite in grid order, so the output buffer carries CHUNK_STEPS rows
+  of tail padding.
+- the whole per-tile output lives in VMEM as one revisited block, which
+  bounds the step count the kernel accepts (fits 32 KiB blocks; the
+  caller falls back to the XLA scan above MAX_STEPS).
 """
 
 from functools import partial
@@ -33,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import CDF_SCALE_BITS, CDF_SCALE_TOTAL
-from ..format.wide import PLANES, chunk_schedule
+from ..format.wide import CHUNK_STEPS, PLANES, WARMUP_CHUNKS, chunk_schedule
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
@@ -42,21 +47,16 @@ NP = len(PLANES)
 LANE_PAD = 256  # LTOT=208 padded to two 128-lane registers
 W = 256  # joint fence width = max plane alphabet
 BT = 8  # block tile per kernel instance
+# VMEM ceiling for the revisited [steps_pad, BT, LANE_PAD] i32 out block
+# (~4.3 MB at 520 steps) + the ~8 MB of per-step intermediates; beyond
+# this the caller must use the XLA scan (big-block containers)
+MAX_STEPS = 768
 
 _L = tuple(p.lanes for p in PLANES)
 _BASE = tuple(int(np.cumsum((0,) + _L)[i]) for i in range(NP))
 _LTOT = sum(_L)
 _ALPH = tuple(p.alphabets[0] for p in PLANES)
 _BOUNDS = tuple((b, b + l) for b, l in zip(_BASE, _L))
-
-# static per-lane metadata (pad lanes belong to a virtual plane NP)
-_pid = np.full(LANE_PAD, NP, np.int32)
-_lane_off = np.zeros(LANE_PAD, np.int32)
-_lane_lp = np.ones(LANE_PAD, np.int32)
-for _i, (_s, _e) in enumerate(_BOUNDS):
-    _pid[_s:_e] = _i
-    _lane_off[_s:_e] = np.arange(_e - _s)
-    _lane_lp[_s:_e] = _e - _s
 
 
 def _build_fences_padded(carry, alph: int):
@@ -107,15 +107,17 @@ def _seg_const(l, values):
     return out
 
 
-def _make_kernel(steps_pad: int, whc: int, schedule: tuple, base_ws: tuple):
+def _make_kernel(whc: int, schedule: tuple, base_ws: tuple):
     NC = len(schedule)
-    # the schedule is closed-form (warmup 2/2/4/8 then full 8-step
-    # chunks: padded_steps guarantees no short tail), so the kernel
-    # derives (clen, toff) from program_id arithmetic
-    warm = (2, 2, 4, 8)
-    exp = (warm + (8,) * NC)[:NC]
+    # the schedule is closed-form (format.wide WARMUP_CHUNKS then full
+    # CHUNK_STEPS chunks: padded_steps guarantees no short tail), so the
+    # kernel derives (clen, toff) from program_id arithmetic
+    warm = tuple(WARMUP_CHUNKS)
+    exp = (warm + (CHUNK_STEPS,) * NC)[:NC]
     assert tuple(exp) == tuple(schedule), schedule
+    warm_off = tuple(int(x) for x in np.cumsum((0,) + warm))
     f32 = jnp.float32
+    step_tile = max(max(warm), CHUNK_STEPS)
 
     def kernel(seeds_ref, nsyml_ref, tab0_ref, car0_ref, win_ref,
                ys_ref, x_s, rel_s, car_s, fen_s, dtb_s):
@@ -144,13 +146,13 @@ def _make_kernel(steps_pad: int, whc: int, schedule: tuple, base_ws: tuple):
                 fen_s[:, p, :] = t
                 dtb_s[:, p, :] = jnp.where(col < _ALPH[p], t - prev, 0)
 
-        clen = jnp.where(c < 2, 2, jnp.where(c == 2, 4, 8))
-        t0 = jnp.where(
-            c == 0, 0,
-            jnp.where(c == 1, 2,
-                      jnp.where(c == 2, 4,
-                                jnp.where(c == 3, 8, 16 + (c - 4) * 8))),
-        )
+        # (clen, t0) ladders generated from the format's schedule constants
+        nw = len(warm)
+        clen = jnp.full((), CHUNK_STEPS, _I32)
+        t0 = warm_off[nw] + (c - nw) * CHUNK_STEPS
+        for i in range(nw - 1, -1, -1):
+            clen = jnp.where(c == i, warm[i], clen)
+            t0 = jnp.where(c == i, warm_off[i], t0)
 
         # chunk-static per-lane tables: concat of per-plane broadcasts
         fence1 = jnp.concatenate(
@@ -224,7 +226,7 @@ def _make_kernel(steps_pad: int, whc: int, schedule: tuple, base_ws: tuple):
             return counts
 
         counts = jnp.zeros((BT, NP, W), _I32)
-        counts = jax.lax.fori_loop(0, 8, step, counts)
+        counts = jax.lax.fori_loop(0, step_tile, step, counts)
 
         # chunk boundary: carry-halved rebuild
         new_car = (car_s[:] >> 1) + counts
@@ -241,10 +243,16 @@ def fused_scan_pallas(seeds, wins, n_syms, steps: int, priors=None,
                       interpret: bool = False):
     """Drop-in twin of plane_scan_fused running as one pallas kernel.
 
-    seeds: [B, LTOT] u32; wins: tuple of per-plane [NC, B, WH_p] i32
+    seeds: [B, LTOT] u32; wins: tuple of per-plane [NC, B, WH_p] u16
     windows; n_syms: [B, NP] i32; priors: optional NP-tuple of [1, alph]
-    counts. Returns per-plane symbol arrays [B, steps * L_p].
+    counts. Returns per-plane symbol arrays [B, steps * L_p]. Raises
+    ValueError above MAX_STEPS (out block would not fit VMEM) - callers
+    fall back to the XLA scan.
     """
+    if steps > MAX_STEPS:
+        raise ValueError(
+            f"pallas fused scan supports <= {MAX_STEPS} steps (got {steps})"
+        )
     from .wide_decode import _build_cdf_jnp, _uniform_tables
 
     B = seeds.shape[0]
@@ -296,9 +304,12 @@ def fused_scan_pallas(seeds, wins, n_syms, steps: int, priors=None,
         tab0 = tab0.at[:, p, a:].set(CDF_SCALE_TOTAL)
         car0 = car0.at[:, p, :a].set(c0)
 
-    steps_pad = steps + 8  # slack rows for fixed-8 warmup-chunk writes
+    # slack rows: every chunk runs a fixed step_tile of iterations and
+    # writes its full row tile; short warmup chunks spill into rows the
+    # next chunk overwrites in grid order
+    steps_pad = steps + max(max(WARMUP_CHUNKS), CHUNK_STEPS)
 
-    kernel = _make_kernel(steps_pad, whc, schedule, base_ws)
+    kernel = _make_kernel(whc, schedule, base_ws)
 
     grid = (Bp // BT, NC)
     ys = pl.pallas_call(

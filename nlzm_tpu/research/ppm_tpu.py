@@ -35,10 +35,10 @@ wide LZ profile restructures NLZM:
 Container: b"NLZC" | u8 ver | u8 lanes | u32be block_size |
 u64be total_len | u32be num_blocks | prior | per block u32be
 stream_bytes | streams. Per-lane segment lengths derive from the block
-length. The prior ships RLE-coded ((run u8, value u8) pairs, u32be
-byte-length prefix; rows are mostly zero) and only when
-total_len >= PRIOR_MIN - below that the 16 KiB table would swamp the
-container and both sides use a zero prior.
+length. The prior ships huff0-coded (u32be byte-length prefix; v4's
+4096-row table is dense u8 data: 128 KiB raw -> ~60 KiB) and only when
+total_len >= PRIOR_MIN - below that the table would swamp the container
+and both sides use a zero prior.
 
 Research-grade like the reference's research tree: it demonstrates the
 batched formulation; the order-6 host codec remains the ratio reference
@@ -84,36 +84,6 @@ PRIOR_W = 8  # prior weight at every rebuild
 PRIOR_QUANT = 64  # per-row max-norm scale of the shipped u8 prior
 BLEND = 2  # uniform prior mass per cell at each rebuild (guards noise rows)
 PRIOR_MIN = 65536  # ship the prior only for inputs at least this long
-
-
-def _rle_encode(flat: np.ndarray) -> bytes:
-    """(run u8 1..255, value u8) pairs over a u8 array (zero-dominated)."""
-    out = bytearray()
-    n = len(flat)
-    i = 0
-    while i < n:
-        v = flat[i]
-        j = i + 1
-        while j < n and j - i < 255 and flat[j] == v:
-            j += 1
-        out += bytes((j - i, int(v)))
-        i = j
-    return bytes(out)
-
-
-def _rle_decode(buf: bytes, n: int) -> np.ndarray:
-    out = np.zeros(n, np.uint8)
-    pos = 0
-    for i in range(0, len(buf), 2):
-        run, v = buf[i], buf[i + 1]
-        if pos + run > n:
-            raise ValueError("corrupt NLZC prior (RLE overrun)")
-        if v:
-            out[pos : pos + run] = v
-        pos += run
-    if pos != n:
-        raise ValueError("corrupt NLZC prior (RLE short)")
-    return out
 
 
 def _seg_lens(nb: int):
@@ -254,9 +224,13 @@ def compress(data: bytes, block_size: int = DEFAULT_BLOCK) -> bytes:
     out += len(data).to_bytes(8, "big")
     out += nblocks.to_bytes(4, "big")
     if len(data) >= PRIOR_MIN:
-        rle = _rle_encode(prior.astype(np.uint8).ravel())
-        out += len(rle).to_bytes(4, "big")
-        out += rle
+        # v4 priors are dense (4096 rows of u8 quantized counts): RLE
+        # expands them ~1.5x; the repo's huff0 gets raw 128 KiB -> ~60 KiB
+        from . import huff0
+
+        enc = huff0.encode(prior.astype(np.uint8).tobytes())
+        out += len(enc).to_bytes(4, "big")
+        out += enc
     for s in streams:
         out += len(s).to_bytes(4, "big")
     for s in streams:
@@ -285,14 +259,17 @@ def stage_container(blob: bytes, mesh=None):
     nblocks = int.from_bytes(blob[18:22], "big")
     off = 22
     if total_len >= PRIOR_MIN:
-        rle_n = int.from_bytes(blob[off : off + 4], "big")
+        from . import huff0
+
+        enc_n = int.from_bytes(blob[off : off + 4], "big")
         off += 4
+        raw = huff0.decode(blob[off : off + enc_n])
+        if len(raw) != 2 * ROWS * 16:
+            raise ValueError("corrupt NLZC prior (bad huff0 payload size)")
         prior = (
-            _rle_decode(blob[off : off + rle_n], 2 * ROWS * 16)
-            .astype(np.int64)
-            .reshape(2, ROWS, 16)
+            np.frombuffer(raw, np.uint8).astype(np.int64).reshape(2, ROWS, 16)
         )
-        off += rle_n
+        off += enc_n
     else:
         prior = np.zeros((2, ROWS, 16), np.int64)
     sizes = []

@@ -158,9 +158,10 @@ def test_ratio_evidence_at_scale(oracle_runner):
 
 
 def test_nlzc_ratio_with_prior(mixed_corpus):
-    """NLZC v3 (container prior + 512-row contexts): ratio <= 0.65 on the
-    bench mix (round-2 order-2 measured 0.687; v3 measured 0.6360 at
-    1 MiB). Reference anchor: PPMd var.I order-6 gets 0.337 on this mix
+    """NLZC v4 (huff0 container prior + 4096-row contexts): ratio <= 0.63
+    on the bench mix at 1 MiB (measured 0.6037; 0.5626 at 4 MiB where
+    the prior amortizes; v3 measured 0.636, round-2 order-2 0.687).
+    Reference anchor: PPMd var.I order-6 gets 0.337 on this mix
     (BASELINE.md) - NLZC trades ratio for lane/block-parallel decode."""
     from nlzm_tpu.research import ppm_tpu
 
@@ -168,4 +169,4 @@ def test_nlzc_ratio_with_prior(mixed_corpus):
 
     data = bench.build_corpus(1 << 20)
     blob = ppm_tpu.compress(data)
-    assert len(blob) / len(data) < 0.65  # measured 0.6360
+    assert len(blob) / len(data) < 0.63  # measured 0.6037
