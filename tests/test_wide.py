@@ -53,8 +53,9 @@ def test_host_roundtrip_with_priors():
 @pytest.mark.parametrize("plane_idx", [1, 4])
 def test_device_plane_matches_host_encoder(plane_idx):
     """Generic plane_scan vs the host encoder: lit (256-symbol joint
-    alphabet) and dst (64 symbols); both single-row under wire v4 (the
-    test still drives the generic multi-row machinery when rows > 1)."""
+    alphabet) and dst (64 symbols); both single-row under wire v4. The
+    multi-row machinery is pinned separately by
+    test_generic_multirow_plane_machinery."""
     import jax.numpy as jnp
 
     from nlzm_tpu.ops.wide_decode import plane_scan
@@ -241,3 +242,41 @@ def test_device_plane_encoder_byte_identical():
     pd, bd = encode_wide_blocks_tpu(op_len, op_val, op_rep)
     assert bh == bd
     assert ph == pd
+
+
+def test_generic_multirow_plane_machinery(monkeypatch):
+    """Wire v4 made every live plane single-row, but plane_scan /
+    _rans_encode_plane keep the general multi-row machinery (row-keyed
+    tables selected per lane) for future wire revisions. Pin it with a
+    synthetic 4-row 16-symbol spec: host encode -> device scan must
+    return the exact symbols."""
+    import jax.numpy as jnp
+
+    from nlzm_tpu.format import wide
+    from nlzm_tpu.ops import wide_decode
+
+    spec = wide.PlaneSpec("dst", 8, 1, (16,), (4,))
+    planes = wide.PLANES[:4] + (spec,)
+    monkeypatch.setattr(wide, "PLANES", planes)
+    monkeypatch.setattr(wide_decode, "PLANES", planes)
+
+    rng = np.random.default_rng(11)
+    B = 2
+    counts = np.array([300, 41])
+    steps = wide.padded_steps(int(counts.max()), spec.lanes)
+    T_pad = steps * spec.lanes
+    syms0 = np.zeros((B, T_pad), np.int64)
+    rows0 = np.zeros((B, T_pad), np.int64)
+    for b in range(B):
+        n = counts[b]
+        syms0[b, :n] = rng.integers(0, 16, n)
+        rows0[b, :n] = rng.integers(0, 4, n)
+    streams, offsets = wide._rans_encode_plane(spec, [syms0], [rows0], counts, B)
+    seeds, wins = wide_decode.stage_plane(streams, list(offsets), 4, steps)
+    (y0,) = wide_decode.plane_scan(
+        seeds, wins, jnp.asarray(counts, np.int32),
+        jnp.asarray(rows0, jnp.int32), 4, steps,
+    )
+    y0 = np.asarray(y0)
+    for b in range(B):
+        assert np.array_equal(y0[b, : counts[b]], syms0[b, : counts[b]])
