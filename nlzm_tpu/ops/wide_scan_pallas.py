@@ -239,6 +239,7 @@ def _make_kernel(whc: int, schedule: tuple, base_ws: tuple):
     return kernel
 
 
+@partial(jax.jit, static_argnames=("steps", "interpret"))
 def fused_scan_pallas(seeds, wins, n_syms, steps: int, priors=None,
                       interpret: bool = False):
     """Drop-in twin of plane_scan_fused running as one pallas kernel.
