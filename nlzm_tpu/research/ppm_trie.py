@@ -42,9 +42,12 @@ from .ppm import _SEE, BOT, MAX_FREQ, RangeDecoder, RangeEncoder
 from .ppm_alloc import UNIT_STATES, UnitArena, units_for
 
 MAX_ORDER = 6
-NODE_BUDGET = 1 << 18  # states across the trie before CutOff
+NODE_BUDGET = 1 << 20  # states across the trie before CutOff
+# (matches the hashed PPM's MAX_NODES and roughly var.I's default
+# 4 MB arena in states; 2^18 measured 0.443 vs 0.387 at 512 KiB -
+# the budget, not the modeling, was the gap vs research/ppm.py)
 CUTOFF_FREQ = 3  # contexts with total freq below this are pruned
-INIT_FREQ = 3  # inherited-ish cold start for fresh symbols (swept)
+INIT_FREQ = 2  # cold start for fresh symbols (swept: 2 beats 1/3/4)
 BUMP = 4
 
 ARENA_UNITS = 3 * (NODE_BUDGET >> 1)  # ~1.5 units per budgeted state
