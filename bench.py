@@ -217,7 +217,10 @@ def main() -> None:
     t_stage0 = time.time()
     info = parse_container(container)
     payloads = block_payloads(container, info)
-    buckets = prepare_wide_bucketed(payloads, info.wide_priors)
+    buckets = prepare_wide_bucketed(
+        payloads, info.wide_priors,
+        n_buckets=int(os.environ.get("NLZM_BENCH_BUCKETS", "2")),
+    )
     dict_arr = (
         jnp.asarray(np.frombuffer(info.dictionary, np.uint8))
         if info.dictionary else None
