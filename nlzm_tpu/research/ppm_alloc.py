@@ -187,3 +187,16 @@ class UnitArena:
             self.total - (self.hi - self.lo)
             - (self.units_start - self.text_used) - self.avail
         )
+
+    def verify_free_lists(self) -> None:
+        """Free-list accounting invariant (the reference keeps this as a
+        commented-out verifier inside GetUsedMemory,
+        ppmd_alloc.cpp:108-117): every stamped block is on exactly one
+        list of its size class, and their sizes sum to `avail`."""
+        walked = 0
+        for i, lst in enumerate(self.lists):
+            for head in lst:
+                assert self.stamp.get(head) == i + 1, (head, i + 1)
+                walked += i + 1
+        assert walked == self.avail, (walked, self.avail)
+        assert len(self.stamp) == sum(len(l) for l in self.lists)

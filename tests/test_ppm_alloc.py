@@ -158,3 +158,18 @@ def test_trie_arena_stays_bounded(corpus_text):
     assert a.lo <= a.hi
     # the arena actually recycled blocks at this scale
     assert a.avail > 0 or any(a.lists[i] for i in range(N_INDEXES)) or m.pruned
+
+
+def test_free_list_accounting_invariant(corpus_text):
+    """verify_free_lists (the reference's commented-out GetUsedMemory
+    verifier, ppmd_alloc.cpp:108-117) holds through real model churn."""
+    from nlzm_tpu.research import ppm_trie
+
+    m = ppm_trie._TrieModel()
+    data = corpus_text(20000)
+    for i, byte in enumerate(data):
+        m.update(byte, 0)
+        m.advance(byte)
+        if i % 4096 == 0:
+            m.arena.verify_free_lists()
+    m.arena.verify_free_lists()
