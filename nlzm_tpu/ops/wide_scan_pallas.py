@@ -59,6 +59,21 @@ _ALPH = tuple(p.alphabets[0] for p in PLANES)
 _BOUNDS = tuple((b, b + l) for b, l in zip(_BASE, _L))
 
 
+def _cumsum_last(x):
+    """Inclusive cumsum along the last axis by log2(n) shifted adds —
+    Mosaic has no cumsum lowering (jnp.cumsum raises NotImplementedError
+    inside a TPU kernel)."""
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (k,), x.dtype), x[..., : n - k]], axis=-1
+        )
+        x = x + shifted
+        k *= 2
+    return x
+
+
 def _build_fences_padded(carry, alph: int):
     """build_cdf over one plane's padded [BT, W] carry row -> fences
     [BT, W] (fence[i] = cumulative end of symbol i) and deltas [BT, W].
@@ -71,7 +86,7 @@ def _build_fences_padded(carry, alph: int):
     c = jnp.where(live, carry, 0)
     tot = jnp.sum(c, axis=1, keepdims=True)
     freq = jnp.where(live, 1 + (c * (CDF_SCALE_TOTAL - alph)) // (tot + 1), 0)
-    fence = jnp.cumsum(freq, axis=1)
+    fence = _cumsum_last(freq)
     # the LAST live symbol absorbs rounding slack: its fence (and all
     # padded columns) pin to 2^14
     fence = jnp.where(col >= alph - 1, CDF_SCALE_TOTAL, fence)
@@ -85,7 +100,7 @@ def _seg_cumsum(flags):
 
     flags: [BT, LANE_PAD] i32. Returns (rank [BT, LANE_PAD],
     totals [BT, NP])."""
-    cs = jnp.cumsum(flags, axis=1)
+    cs = _cumsum_last(flags)
     parts, totals = [], []
     for s, e in _BOUNDS:
         base = cs[:, s - 1 : s] if s > 0 else jnp.zeros_like(cs[:, :1])
@@ -171,7 +186,12 @@ def _make_kernel(whc: int, schedule: tuple, base_ws: tuple):
             + [jnp.zeros((BT, LANE_PAD - _LTOT, W), _I32)],
             axis=1,
         )
-        win3 = win_ref[0].reshape(BT, whc // 8, 8).astype(f32)
+        # wins arrive pre-reshaped [1, BT, whc//8, 8] (Mosaic cannot
+        # reshape an i16 vector across lane dims) and widen i32 -> f32
+        # (no direct u16 -> f32 cast lowering). Mosaic treats the u16
+        # vector as i16, so the widening cast SIGN-extends pair values
+        # >= 0x8000 - mask back to the unsigned low halfword
+        win3 = (win_ref[0].astype(_I32) & 0xFFFF).astype(f32)
         nsym_lane = nsyml_ref[:]  # [BT, LANE_PAD]
 
         def step(t, counts):
@@ -206,9 +226,12 @@ def _make_kernel(whc: int, schedule: tuple, base_ws: tuple):
             )
             h = jnp.clip(base_w_lane + rel_lane + rank, 0, whc - 1)
             oh_hi = jax.nn.one_hot(h >> 3, whc // 8, dtype=f32)
+            # HIGHEST precision: the default MXU pass truncates the f32
+            # window values (up to 65535) through bf16
             s1 = jax.lax.dot_general(
                 oh_hi, win3, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [BT, LP, 8]
             oh_lo = jax.nn.one_hot(h & 7, 8, dtype=f32)
             pair = jnp.sum(s1 * oh_lo, axis=2).astype(_I32).astype(_U32)
@@ -219,17 +242,21 @@ def _make_kernel(whc: int, schedule: tuple, base_ws: tuple):
             y = jnp.where(active, y, 0)
             ys_ref[pl.ds(t0 + t, 1), :, :] = y[None]
             y_oha = y_oh * active.astype(_I32)[:, :, None]
-            for p in range(NP):
-                counts = counts.at[:, p, :].add(
-                    jnp.sum(y_oha[:, _BOUNDS[p][0] : _BOUNDS[p][1], :], axis=1)
-                )
-            return counts
+            # counts ride the loop as a per-plane tuple: .at[:, p, :].add
+            # on a stacked array lowers to scatter-add, which Mosaic has
+            # no lowering for
+            return tuple(
+                counts[p]
+                + jnp.sum(y_oha[:, _BOUNDS[p][0] : _BOUNDS[p][1], :], axis=1)
+                for p in range(NP)
+            )
 
-        counts = jnp.zeros((BT, NP, W), _I32)
-        counts = jax.lax.fori_loop(0, step_tile, step, counts)
+        counts = jax.lax.fori_loop(
+            0, step_tile, step, tuple(jnp.zeros((BT, W), _I32) for _ in range(NP))
+        )
 
         # chunk boundary: carry-halved rebuild
-        new_car = (car_s[:] >> 1) + counts
+        new_car = (car_s[:] >> 1) + jnp.stack(counts, axis=1)
         car_s[:] = new_car
         for p in range(NP):
             fen, dtb = _build_fences_padded(new_car[:, p, :], _ALPH[p])
@@ -321,7 +348,7 @@ def fused_scan_pallas(seeds, wins, n_syms, steps: int, priors=None,
             pl.BlockSpec((BT, LANE_PAD), lambda b, c: (b, 0)),
             pl.BlockSpec((BT, NP, W), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((BT, NP, W), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((1, BT, whc), lambda b, c: (c, b, 0)),
+            pl.BlockSpec((1, BT, whc // 8, 8), lambda b, c: (c, b, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (steps_pad, BT, LANE_PAD), lambda b, c: (0, b, 0)
@@ -335,7 +362,7 @@ def fused_scan_pallas(seeds, wins, n_syms, steps: int, priors=None,
             pltpu.VMEM((BT, NP, W), _I32),
         ],
         interpret=interpret,
-    )(seeds_pad, nsym_lane, tab0, car0, wins_cat)
+    )(seeds_pad, nsym_lane, tab0, car0, wins_cat.reshape(NC, Bp, whc // 8, 8))
 
     y0 = ys[:steps, :B, :].transpose(1, 0, 2)  # [B, steps, LANE_PAD]
     return tuple(

@@ -352,6 +352,11 @@ def _decode_blocks(words, seg_lens, prior, steps: int):
     _I32 = jnp.int32
     _U32 = jnp.uint32
     f32 = jnp.float32
+    # the f32 one-hot contractions carry exact 14-bit table values; the
+    # DEFAULT matmul precision routes f32 operands through bf16 passes
+    # (8 significant bits: fence 993 reads back as 992), silently
+    # corrupting every fence - PX is correctness here, not accuracy
+    PX = jax.lax.Precision.HIGHEST
     B, W = words.shape
     L = LANES
     win_words = (2 * L * 2) // 4 + 2
@@ -378,7 +383,9 @@ def _decode_blocks(words, seg_lens, prior, steps: int):
     def read_one(x, cursor, win, win_base, tables, counts, row, a):
         f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
         row_oh = jax.nn.one_hot(row, ROWS, dtype=f32)
-        tbl = jnp.einsum("blr,brw->blw", row_oh, tables.astype(f32)).astype(_I32)
+        tbl = jnp.einsum(
+            "blr,brw->blw", row_oh, tables.astype(f32), precision=PX
+        ).astype(_I32)
         cmp = (f[:, :, None] >= tbl[:, :, 1:]).astype(_I32)
         dtbl = tbl[:, :, 1:] - tbl[:, :, :-1]
         y = jnp.sum(cmp, axis=2)
@@ -403,7 +410,9 @@ def _decode_blocks(words, seg_lens, prior, steps: int):
 
         y = jnp.where(a, y, 0)
         y16a = (y16 * a.astype(_I32)[:, :, None]).astype(f32)
-        counts = counts + jnp.einsum("blr,bls->brs", row_oh, y16a).astype(_I32)
+        counts = counts + jnp.einsum(
+            "blr,bls->brs", row_oh, y16a, precision=PX
+        ).astype(_I32)
         return y, x, cursor, counts
 
     def step_body(carry, a):

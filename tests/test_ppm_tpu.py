@@ -12,6 +12,21 @@ def test_roundtrip_small(corpus_samples, name):
     assert ppm_tpu.decompress(blob) == data
 
 
+def test_roundtrip_noise_regression():
+    """Uniform-ish tables make every fence a multiple of 993 - NOT
+    bf16-representable. The decode einsums must run at HIGHEST precision
+    or the table select silently rounds 993 -> 992 and every symbol
+    whose rANS bits land in the gap mis-decodes (this exact input caught
+    the missing precision= on the real chip AND on XLA:CPU's fast-dot
+    path; text fixtures flaked past it)."""
+    import random
+
+    rng = random.Random(1)
+    noise = bytes(rng.randrange(256) for _ in range(3000))
+    blob = ppm_tpu.compress(noise, block_size=16384)
+    assert ppm_tpu.decompress(blob) == noise
+
+
 def test_roundtrip_text_multiblock(corpus_text):
     data = corpus_text(20000)
     blob = ppm_tpu.compress(data, block_size=8192)
