@@ -317,7 +317,7 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     WHs = tuple(int(w.shape[2]) for w in wins)
     base_w = tuple(int(x) for x in np.cumsum((0,) + WHs)[:_NP])
     WH_cat = sum(WHs)
-    pad = (-WH_cat) % 8
+    pad = (-WH_cat) % 64
     WHc = WH_cat + pad
     wins_cat = jnp.concatenate(
         list(wins) + ([jnp.zeros((NC, B, pad), wins[0].dtype)] if pad else []), axis=2
@@ -339,32 +339,50 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         + jnp.asarray(lane_off)[None, None, :]
     ) < nsym_lane[None, :, :]  # [steps, B, LTOT]
 
-    def fetch_pairs(win3, h):
-        oh_hi = jax.nn.one_hot(h >> 3, WHc // 8, dtype=f32)
-        oh_lo = jax.nn.one_hot(h & 7, 8, dtype=f32)
-        s1 = jnp.einsum("blh,bhe->ble", oh_hi, win3, precision=PX)
+    def fetch_pairs(win4, h):
+        # three-level select (WHc/64 -> 8 -> 8): the level-one one-hot is
+        # the only lane-wide tensor proportional to the window size, so
+        # narrowing it 8x (vs the two-level WHc/8 form) removes the
+        # dominant per-step VPU materialization; the wide contraction
+        # stays a single MXU einsum of identical MAC count.
+        oh_a = jax.nn.one_hot(h >> 6, WHc // 64, dtype=f32)
+        oh_b = jax.nn.one_hot((h >> 3) & 7, 8, dtype=f32)
+        oh_c = jax.nn.one_hot(h & 7, 8, dtype=f32)
+        s1 = jnp.einsum("blh,bhe->ble", oh_a, win4, precision=PX)  # [B,L,64]
+        s2 = jnp.einsum(
+            "blge,blg->ble", s1.reshape(*s1.shape[:2], 8, 8), oh_b, precision=PX
+        )  # [B,L,8]
         return (
-            jnp.einsum("ble,ble->bl", s1, oh_lo, precision=PX)
+            jnp.einsum("ble,ble->bl", s2, oh_c, precision=PX)
             .astype(_I32)
             .astype(_U32)
         )
 
-    def make_step(win3, fence1, dtbl):
-        # fence1: [B, LTOT, W] fences[1..W] per lane (chunk-static, padded
-        # with 2^14 past each plane's alphabet); dtbl: fence deltas
-        # (padded with 0, so padded symbols never contribute to spans).
+    def make_step(win3, fences, dtbls):
+        # fences/dtbls: per-plane [B, 1, alph_p] fence[1..alph] tables and
+        # deltas (chunk-static). The compare runs at each plane's OWN
+        # alphabet width - tok/len/dst need 4/8/64 columns, not the joint
+        # 256 (a 2.3x cut in fence-compare work vs the padded joint form);
+        # the [B, 1, .] tables broadcast against [B, L_p, 1] states, so no
+        # materialized per-lane copies either.
         def step_body(carry, active):
             x, rels = carry
 
             f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
-            cmp = (f[:, :, None] >= fence1).astype(_I32)  # [B, LTOT, W]
-            y = jnp.sum(cmp, axis=2)
-            start = jnp.sum(cmp * dtbl, axis=2)
-            cmp1 = jnp.concatenate(
-                [jnp.ones((B, _P1_LTOT, 1), _I32), cmp[:, :, :-1]], axis=2
-            )
-            y_oh = cmp1 - cmp
-            freq = jnp.sum(y_oh * dtbl, axis=2)
+            ys_p, start_p, freq_p = [], [], []
+            for p in range(_NP):
+                s, e = _P1_BOUNDS[p]
+                fp = f[:, s:e, None]  # [B, L_p, 1]
+                cmp = (fp >= fences[p]).astype(_I32)  # [B, L_p, alph_p]
+                ys_p.append(jnp.sum(cmp, axis=2))
+                start_p.append(jnp.sum(cmp * dtbls[p], axis=2))
+                cmp1 = jnp.concatenate(
+                    [jnp.ones((B, _P1_L[p], 1), _I32), cmp[:, :, :-1]], axis=2
+                )
+                freq_p.append(jnp.sum((cmp1 - cmp) * dtbls[p], axis=2))
+            y = jnp.concatenate(ys_p, axis=1)
+            start = jnp.concatenate(start_p, axis=1)
+            freq = jnp.concatenate(freq_p, axis=1)
 
             x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
             renorm = active & (x2 < jnp.asarray(1 << 16, _U32))
@@ -384,26 +402,18 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     def chunk_body(carry, xs):
         x, tables, carries = carry
         active_c, win_c = xs
-        win3 = win_c.reshape(B, WHc // 8, 8).astype(f32)
-        # hoist the per-lane fence/delta tables out of the step loop:
+        win3 = win_c.reshape(B, WHc // 64, 64).astype(f32)
+        # hoist the per-plane fence/delta tables out of the step loop:
         # tables change only at chunk boundaries
-        f1_parts, dt_parts = [], []
+        fences, dtbls = [], []
         for p in range(_NP):
             t = tables[p]  # [B, 1, alph+1]
-            f1 = t[:, :, 1:]
-            dt = t[:, :, 1:] - t[:, :, :-1]
-            wpad = _P1_W - _P1_ALPH[p]
-            if wpad:
-                f1 = jnp.pad(f1, ((0, 0), (0, 0), (0, wpad)), constant_values=CDF_SCALE_TOTAL)
-                dt = jnp.pad(dt, ((0, 0), (0, 0), (0, wpad)))
-            f1_parts.append(jnp.broadcast_to(f1, (B, _P1_L[p], _P1_W)))
-            dt_parts.append(jnp.broadcast_to(dt, (B, _P1_L[p], _P1_W)))
-        fence1 = jnp.concatenate(f1_parts, axis=1)
-        dtbl = jnp.concatenate(dt_parts, axis=1)
+            fences.append(t[:, :, 1:])
+            dtbls.append(t[:, :, 1:] - t[:, :, :-1])
 
         rel0 = jnp.zeros((B, _NP), _I32)
         (x, _), ys = jax.lax.scan(
-            make_step(win3, fence1, dtbl), (x, rel0), active_c
+            make_step(win3, tuple(fences), tuple(dtbls)), (x, rel0), active_c
         )
         # realized symbol counts once per chunk from the scan output
         # (identical sums to per-step accumulation, ~1/clen of the ops)
