@@ -165,11 +165,13 @@ def main() -> None:
         from nlzm_tpu.ops.wide_encode_dev import (
             encode_wide_blocks_tpu, plane_encode)
 
+        t_parse0 = time.time()
         op_len, op_val = _native.parse_blocks(data, BLOCK_SIZE, 15)
         op_len = np.ascontiguousarray(op_len, np.int32)
         op_val = np.ascontiguousarray(op_val, np.int32)
         _native.lift_deep(op_len, op_val, BLOCK_SIZE)
         op_rep = _native.classify_reps(op_len, op_val)
+        enc_parse = time.time() - t_parse0
         t0 = time.time()
         _pb, batched, _pc = _wide.batch_plane_arrays(op_len, op_val, op_rep)
         priors = _wide.build_priors_from_batched(batched)
@@ -209,27 +211,38 @@ def main() -> None:
         pd, bd = encode_wide_blocks_tpu(ol2, ov2, or2)
         assert ph == pd and bh == bd, "device wide encode parity mismatch"
         enc_best = best_of(run_enc)
-        emit("tpu_wide_encode_throughput", n / enc_best / 1e6, "MB/s",
-             (n / enc_best / 1e6) / 1.8,
+        # e2e framing (like-for-like vs the reference's 1.8 MB/s e2e):
+        # host parse+lift+classify, host plane batching + H2D staging,
+        # then the on-chip plane encode. The stage-only rate is reported
+        # as an extra key, NOT compared against an e2e baseline.
+        enc_e2e = enc_parse + enc_staging + enc_best
+        emit("tpu_wide_encode_throughput", n / enc_e2e / 1e6, "MB/s",
+             (n / enc_e2e / 1e6) / 1.8,
+             stage_only_mbs=round(n / enc_best / 1e6, 2),
+             parse_ms=round(enc_parse * 1e3, 1),
              staging_ms=round(enc_staging * 1e3, 1))
 
     # ---- wide profile: staged decode with per-stage breakdown ----
+    N_BUCKETS = int(os.environ.get("NLZM_BENCH_BUCKETS", "2"))
+
+    def stage_all():
+        info = parse_container(container)
+        payloads = block_payloads(container, info)
+        buckets = prepare_wide_bucketed(
+            payloads, info.wide_priors, n_buckets=N_BUCKETS)
+        dict_arr = (
+            jnp.asarray(np.frombuffer(info.dictionary, np.uint8))
+            if info.dictionary else None
+        )
+        for staged, idx in buckets:
+            staged["rounds_hint"] = rounds_hint_of(
+                max((info.total_reads[b] for b in idx), default=0))
+            staged["dict_arr"] = dict_arr
+        return info, buckets, dict_arr
+
     t_stage0 = time.time()
-    info = parse_container(container)
-    payloads = block_payloads(container, info)
-    buckets = prepare_wide_bucketed(
-        payloads, info.wide_priors,
-        n_buckets=int(os.environ.get("NLZM_BENCH_BUCKETS", "2")),
-    )
-    dict_arr = (
-        jnp.asarray(np.frombuffer(info.dictionary, np.uint8))
-        if info.dictionary else None
-    )
-    for staged, idx in buckets:
-        staged["rounds_hint"] = rounds_hint_of(
-            max((info.total_reads[b] for b in idx), default=0))
-        staged["dict_arr"] = dict_arr
-    staging_secs = time.time() - t_stage0
+    info, buckets, dict_arr = stage_all()
+    staging_first = time.time() - t_stage0
 
     # warmup/compile + full correctness check (untimed)
     full = np.empty(len(info.comp_sizes) * info.block_size, np.uint8)
@@ -253,7 +266,7 @@ def main() -> None:
     # stage breakdown: cumulative sync points (scan -> +assembly ->
     # +expansion); informational, measured with the same best-of
     from nlzm_tpu.ops.wide_decode import (
-        PLANES, assemble_ops, plane_scan_fused)
+        PLANES, assemble_ops, plane_scan_fused, stage_windows_of)
     from nlzm_tpu.ops.expand_ops import lz_expand_parallel
     from nlzm_tpu.ops.sort_gather import PACK_MAX
 
@@ -263,19 +276,17 @@ def main() -> None:
         acc = jnp.zeros((), jnp.int32)
         for staged, _ in buckets:
             n_sym, steps = staged["n_sym"], staged["steps"]
-            seeds, wins = staged["seeds"], staged["wins"]
             priors = staged.get("priors")
             big = info.block_size > PACK_MAX
             cap15 = (lambda a: a) if big else (
                 lambda a: a[:, : min(a.shape[1], 1 << 15)])
-            seeds_f = jnp.concatenate([seeds[i] for i in range(NP)], axis=1)
+            wins = stage_windows_of(staged)
+            seeds_f = staged["seeds_cat"]
             nsyms_f = jnp.stack([n_sym[i] for i in range(NP)], axis=1)
             priors_f = None
             if priors:
                 priors_f = tuple(priors[PLANES[p].name][0] for p in range(NP))
-            ys = plane_scan_fused(
-                seeds_f, tuple(wins[i] for i in range(NP)), nsyms_f, steps[0],
-                priors_f)
+            ys = plane_scan_fused(seeds_f, wins, nsyms_f, steps[0], priors_f)
             tok_y, lit_y, len_y, lex_y, slot_y = map(cap15, ys)
             if upto == "scans":
                 acc = acc + jnp.sum(slot_y) + jnp.sum(tok_y) + jnp.sum(lit_y)
@@ -305,17 +316,16 @@ def main() -> None:
             acc = jnp.zeros((), jnp.int32)
             for staged, _ in buckets:
                 n_sym, steps = staged["n_sym"], staged["steps"]
-                seeds, wins = staged["seeds"], staged["wins"]
                 priors = staged.get("priors")
-                seeds_f = jnp.concatenate([seeds[i] for i in range(NP)], axis=1)
+                wins = stage_windows_of(staged)
+                seeds_f = staged["seeds_cat"]
                 nsyms_f = jnp.stack([n_sym[i] for i in range(NP)], axis=1)
                 priors_f = None
                 if priors:
                     priors_f = tuple(
                         priors[PLANES[p].name][0] for p in range(NP))
                 ys = fused_scan_pallas(
-                    seeds_f, tuple(wins[i] for i in range(NP)), nsyms_f,
-                    steps[0], priors_f)
+                    seeds_f, wins, nsyms_f, steps[0], priors_f)
                 acc = acc + jnp.sum(ys[0]) + jnp.sum(ys[4])
             float(np.asarray(acc))
 
@@ -376,7 +386,20 @@ def main() -> None:
          ppmd_ref_ratio=0.337)
 
     # ---- primary metric last ----
-    e2e_secs = best + staging_secs
+    # e2e: the FULL pipeline per rep - container bytes -> host parse +
+    # compact staging -> H2D upload -> device decode -> checksum fetch.
+    # Host staging of bucket k overlaps device compute of bucket k-1
+    # (dispatch is async). Steady-state best-of, same as every metric.
+    def run_e2e():
+        acc = jnp.zeros((), jnp.int32)
+        info2, buckets2, _ = stage_all()
+        for staged, _ in buckets2:
+            out, produced = decode_wide_staged(staged, info2.block_size)
+            acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+        float(np.asarray(acc))
+
+    e2e_best = best_of(run_e2e)
+    staging_best = best_of(lambda: stage_all())
     emit(
         "tpu_block_parallel_decode_throughput", mbs, "MB/s", mbs / 123.0,
         dict_kib=(len(info.dictionary) // 1024 if info.dictionary else 0),
@@ -384,8 +407,9 @@ def main() -> None:
         stage_scans_ms=round(t_scans * 1e3, 1),
         stage_assembly_ms=round(max(t_asm - t_scans, 0.0) * 1e3, 1),
         stage_expansion_ms=round(max(best - t_asm, 0.0) * 1e3, 1),
-        staging_ms=round(staging_secs * 1e3, 1),
-        e2e_mbs=round(n / e2e_secs / 1e6, 2),
+        staging_ms=round(staging_best * 1e3, 1),
+        staging_first_ms=round(staging_first * 1e3, 1),
+        e2e_mbs=round(n / e2e_best / 1e6, 2),
     )
 
 

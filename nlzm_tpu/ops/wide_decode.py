@@ -265,23 +265,20 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
 # -------------------------------------------------------- the fused scan
 # ALL FIVE planes are single-read with context-free row-0 tables (wire
 # v4), so their scans fuse into ONE: every lane advances together per
-# step through one fence compare, one rANS update and one window select
-# - per-step op count is what the chip bills for at these tensor sizes
-# (~8us fixed cost per op), and the fused scan runs max(steps_p) steps
-# instead of sum(steps_p). The fence compare runs at the joint width
-# (256) against per-chunk-static tables hoisted OUT of the step loop
-# (built once per chunk in chunk_body; planes with smaller alphabets pad
-# their fences with 2^14, which no 14-bit rANS state ever reaches, so
-# padded columns never match). Stream consumption per plane is unchanged
-# byte-for-byte: each plane keeps its own window, cursor and chunk
-# schedule prefix.
+# step through per-plane fence compares, one joint rANS update and one
+# window select - per-step op count is what the chip bills for at these
+# tensor sizes (~8us fixed cost per op), and the fused scan runs
+# max(steps_p) steps instead of sum(steps_p). Each plane's fence compare
+# runs at its OWN alphabet width against per-chunk-static tables hoisted
+# OUT of the step loop (built once per chunk in chunk_body). Stream
+# consumption per plane is unchanged byte-for-byte: each plane keeps its
+# own window, cursor and chunk schedule prefix.
 _NP = len(PLANES)
 _P1_L = tuple(PLANES[i].lanes for i in range(_NP))  # tok,lit,len,lex,dst
 _P1_BASE = tuple(int(np.cumsum((0,) + _P1_L)[i]) for i in range(_NP))
 _P1_LTOT = sum(_P1_L)
 _P1_ALPH = tuple(PLANES[i].alphabets[0] for i in range(_NP))
 _P1_BOUNDS = tuple((b, b + l) for b, l in zip(_P1_BASE, _P1_L))
-_P1_W = max(_P1_ALPH)  # joint compare width
 
 
 def _seg_ranks(renorm, bounds):
@@ -489,6 +486,7 @@ def _bits_fetch(bit_half, offs, width, big=False):
     bits <= 30 < 32. Two 16-bit-payload gathers replace the previous
     three byte gathers.
     """
+    bit_half = bit_half.astype(_I32)  # staged as u16 (half the upload bytes)
     h0 = offs >> 4
     hm = bit_half.shape[1] - 1
     G16 = gather_sorted2 if big else gather_sorted16
@@ -588,16 +586,16 @@ def rounds_hint_of(max_depth: int):
 
 
 def stage_plane(stream_list, offset_list, plane_idx: int, steps: int):
-    """Stage one plane's streams as (seeds [B, L] u32, wins [NC, B, WH] u16).
+    """Host-side single-plane staging: (seeds [B, L] u32, wins [NC, B, WH] u16).
+
+    Test/reference path for the unfused plane_scan. The production
+    pipeline (prepare_wide) stages compact streams instead and builds
+    windows ON DEVICE (stage_windows_fused): at container scale the dense
+    host window build plus the padded upload dominated end-to-end decode.
 
     wins holds each chunk's renorm pairs as big-endian values, dense and
     zero-padded to WH (the max pair count of any (block, chunk)); block
     offsets pad to the global chunk count by repeating the stream end.
-    Window building is one vectorized numpy take (the per-(block, chunk)
-    slice loop was the dominant host staging cost at container scale).
-    Windows ship as uint16 - half the bytes over the host->device relay,
-    the per-byte cost that dominates container-scale staging - and widen
-    to f32 on device, once per chunk.
     """
     from ..format.wide import chunk_schedule
 
@@ -632,12 +630,58 @@ def stage_plane(stream_list, offset_list, plane_idx: int, steps: int):
     return jnp.asarray(seeds), jnp.asarray(np.ascontiguousarray(wins))
 
 
-def prepare_wide(payloads, priors_blob: bytes | None = None):
-    """Host prep: parse block headers, stage per-chunk renorm windows.
+@partial(jax.jit, static_argnames=("WHs", "bases", "big"))
+def stage_windows_fused(hw_cat, offs, ends, WHs: tuple, bases: tuple, big: bool):
+    """Build every plane's dense per-chunk renorm windows ON DEVICE.
 
-    Uses the format's chunk-offset tables to slice every (block, chunk)
-    renorm window into dense [NC, B, WH] arrays (big-endian pair values),
-    so the device scan runs gather-free. Returns a staged dict of device
+    hw_cat: [B, H] u16 - each block's five plane pair streams laid out at
+    static per-plane halfword bases (big-endian-decoded values). offs:
+    [B, NP, NC] i32 global pair index of each chunk's first pair; ends:
+    [B, NP] i32 global end index of each plane's stream. WHs/bases:
+    static per-plane window widths and stream bases.
+
+    One batched sort-gather serves all five planes' layouts at once
+    (~2 G sorted elem/s vs ~70 M elem/s for XLA's gather lowering);
+    queries are each chunk's offs[c] + iota(WH), masked to its real pair
+    count. Returns the per-plane [NC, B, WH_p] i32 window tuple the
+    fused scan consumes.
+    """
+    B, H = hw_cat.shape
+    NC = offs.shape[2]
+    nxt = jnp.concatenate(
+        [offs[:, :, 1:], ends[:, :, None]], axis=2
+    )  # [B, NP, NC]
+    pc = nxt - offs  # pair count per (block, plane, chunk)
+
+    qs, masks = [], []
+    for p in range(_NP):
+        k = jnp.arange(WHs[p], dtype=_I32)
+        q = offs[:, p, :, None] + k  # [B, NC, WH_p]
+        masks.append(k[None, None, :] < pc[:, p, :, None])
+        qs.append(q.reshape(B, NC * WHs[p]))
+    q_cat = jnp.clip(jnp.concatenate(qs, axis=1), 0, max(H - 1, 0))
+    src = hw_cat.astype(_I32)
+    g = (gather_sorted2 if big else gather_sorted16)(src, q_cat)
+
+    wins = []
+    pos = 0
+    for p in range(_NP):
+        n = NC * WHs[p]
+        w = g[:, pos : pos + n].reshape(B, NC, WHs[p])
+        wins.append(jnp.where(masks[p], w, 0).transpose(1, 0, 2))
+        pos += n
+    return tuple(wins)
+
+
+def prepare_wide(payloads, priors_blob: bytes | None = None):
+    """Host prep: parse block headers, stage COMPACT streams for device.
+
+    The host only slices each block's plane streams into one padded
+    [B, H] halfword array (plus tiny offset tables); the dense per-chunk
+    renorm windows - the expensive layout - are built on device by
+    stage_windows_fused from the format's chunk-offset tables. This keeps
+    host prep at memcpy cost and ships ~half the bytes of the padded
+    windows over the host->device link. Returns a staged dict of device
     arrays + static step counts, ready for decode_wide_staged.
     """
     from ..format.wide import (
@@ -657,27 +701,62 @@ def prepare_wide(payloads, priors_blob: bytes | None = None):
             plane_offsets[i].append(offsets[i])
         bit_chunks.append(bits)
 
-    steps_g = [
-        padded_steps(int(counts[:, i].max()), PLANES[i].lanes)
-        for i in range(N_PLANES)
-    ]
     # all five planes share one fused scan (wire v4: every plane is
     # context-free): one global step count (the max is itself a valid
     # schedule sum), windows staged to its chunk count
-    steps_fused = max(steps_g)
-    steps_g = [steps_fused] * N_PLANES
+    steps_fused = max(
+        padded_steps(int(counts[:, i].max()), PLANES[i].lanes)
+        for i in range(N_PLANES)
+    )
+    NC = len(chunk_schedule(steps_fused))
 
-    seeds_l, wins_l = [], []
+    # per-plane stream geometry (pair = halfword units)
+    seeds_cat = np.zeros((B, _P1_LTOT), np.uint32)
+    hw_lens = np.zeros((B, N_PLANES), np.int64)
     for i in range(N_PLANES):
-        seeds, wins = stage_plane(plane_streams[i], plane_offsets[i], i, steps_g[i])
-        seeds_l.append(seeds)
-        wins_l.append(wins)
+        L = PLANES[i].lanes
+        seeds_cat[:, _P1_BASE[i] : _P1_BASE[i] + L] = np.frombuffer(
+            b"".join(s[: 4 * L] for s in plane_streams[i]), "<u4"
+        ).reshape(B, L)
+        hw_lens[:, i] = [(len(s) - 4 * L) // 2 for s in plane_streams[i]]
+    Hmax = np.maximum(8, hw_lens.max(axis=0))  # per plane
+    bases = np.zeros(N_PLANES + 1, np.int64)
+    np.cumsum(Hmax, out=bases[1:])
+    H_tot = int(bases[-1])
+
+    hw_cat = np.zeros((B, H_tot), np.uint16)
+    offs_g = np.zeros((B, N_PLANES, NC), np.int32)
+    ends_g = np.zeros((B, N_PLANES), np.int32)
+    for i in range(N_PLANES):
+        L = PLANES[i].lanes
+        flat = np.frombuffer(
+            b"".join(s[4 * L :] for s in plane_streams[i]), ">u2"
+        ).astype(np.uint16)
+        base = 0
+        b0 = int(bases[i])
+        for b in range(B):
+            n = int(hw_lens[b, i])
+            hw_cat[b, b0 : b0 + n] = flat[base : base + n]
+            base += n
+            o = plane_offsets[i][b]
+            no = len(o)
+            offs_g[b, i, :no] = b0 + (o // 2)
+            offs_g[b, i, no:] = b0 + n
+            ends_g[b, i] = b0 + n
+
+    pair_counts = (
+        np.concatenate([offs_g[:, :, 1:], ends_g[:, :, None]], axis=2) - offs_g
+    )
+    WHs = tuple(
+        max(8, int(-(-pair_counts[:, i, :].max() // 8)) * 8)
+        for i in range(N_PLANES)
+    )
 
     # big-endian halfword staging for the 16-bit-payload bits gathers
     hmax = (max(len(x) for x in bit_chunks) + 1) // 2 + 2
-    bit_arr = np.zeros((B, hmax), np.int32)
+    bit_arr = np.zeros((B, hmax), np.uint16)
     for b, c in enumerate(bit_chunks):
-        cb = np.frombuffer(c + b"\x00" * (len(c) & 1), np.uint8).astype(np.int32)
+        cb = np.frombuffer(c + b"\x00" * (len(c) & 1), np.uint8).astype(np.uint16)
         bit_arr[b, : len(cb) // 2] = (cb[0::2] << 8) | cb[1::2]
     priors = None
     if priors_blob:
@@ -689,12 +768,28 @@ def prepare_wide(payloads, priors_blob: bytes | None = None):
     return {
         "priors": priors,
         "n_sym": [jnp.asarray(counts[:, i], np.int32) for i in range(N_PLANES)],
-        "seeds": seeds_l,
-        "wins": wins_l,
+        "seeds_cat": jnp.asarray(seeds_cat),
+        "hw_cat": jnp.asarray(hw_cat),
+        "offs": jnp.asarray(offs_g),
+        "ends": jnp.asarray(ends_g),
+        "WHs": WHs,
+        "bases": tuple(int(x) for x in bases[:N_PLANES]),
         "bit_half": jnp.asarray(bit_arr),
-        "steps": steps_g,
+        "steps": [steps_fused] * N_PLANES,
         "B": B,
     }
+
+
+def stage_windows_of(staged):
+    """Device window build from a prepare_wide staged dict."""
+    NC = staged["offs"].shape[2]
+    H = staged["hw_cat"].shape[1]
+    q_tot = NC * sum(staged["WHs"])
+    big = H > PACK_MAX or q_tot > PACK_MAX
+    return stage_windows_fused(
+        staged["hw_cat"], staged["offs"], staged["ends"],
+        staged["WHs"], staged["bases"], big,
+    )
 
 
 def decode_wide_staged(staged, block_size: int):
@@ -704,16 +799,15 @@ def decode_wide_staged(staged, block_size: int):
     rounds_hint = staged.get("rounds_hint")
     dict_arr = staged.get("dict_arr")  # [D] u8 shared dictionary or None
 
-    B = staged["B"]
     n_sym, steps = staged["n_sym"], staged["steps"]
-    seeds, wins = staged["seeds"], staged["wins"]
     priors = staged.get("priors")
     big = block_size > PACK_MAX  # 2-operand sort path for > 32 KiB blocks
     # plane pad can exceed the 15-bit packed-sort budget by one chunk;
     # symbol counts never do (every command produces >= 1 byte)
     cap15 = (lambda a: a) if big else (lambda a: a[:, : min(a.shape[1], 1 << 15)])
 
-    seeds_f = jnp.concatenate([seeds[i] for i in range(_NP)], axis=1)
+    wins = stage_windows_of(staged)
+    seeds_f = staged["seeds_cat"]
     nsyms_f = jnp.stack([n_sym[i] for i in range(_NP)], axis=1)
     priors_f = None
     if priors:
@@ -722,14 +816,11 @@ def decode_wide_staged(staged, block_size: int):
         from .wide_scan_pallas import fused_scan_pallas
 
         ys = fused_scan_pallas(
-            seeds_f, tuple(wins[i] for i in range(_NP)), nsyms_f, steps[0],
+            seeds_f, wins, nsyms_f, steps[0],
             priors_f, interpret=staged.get("pallas_interpret", False),
         )
     else:
-        ys = plane_scan_fused(
-            seeds_f, tuple(wins[i] for i in range(_NP)), nsyms_f, steps[0],
-            priors_f,
-        )
+        ys = plane_scan_fused(seeds_f, wins, nsyms_f, steps[0], priors_f)
     tok_y, lit_y, len_y, lex_y, slot_y = map(cap15, ys)
 
     op_len, op_val = assemble_ops(

@@ -99,11 +99,9 @@ def decode_wide_sharded(data: bytes, mesh: Mesh) -> bytes:
 
     staged["rounds_hint"] = rounds_hint_of(max(info.total_reads, default=0))
     sharding = NamedSharding(mesh, P(BLOCK_AXIS))
-    win_sharding = NamedSharding(mesh, P(None, BLOCK_AXIS))  # [NC, B, WH]
     staged["n_sym"] = [jax.device_put(a, sharding) for a in staged["n_sym"]]
-    staged["seeds"] = [jax.device_put(a, sharding) for a in staged["seeds"]]
-    staged["wins"] = [jax.device_put(a, win_sharding) for a in staged["wins"]]
-    staged["bit_half"] = jax.device_put(staged["bit_half"], sharding)
+    for key in ("seeds_cat", "hw_cat", "offs", "ends", "bit_half"):
+        staged[key] = jax.device_put(staged[key], sharding)
 
     out, produced = decode_wide_staged(staged, info.block_size)
     out_np = np.asarray(out)[:n_blocks].reshape(-1)

@@ -46,13 +46,15 @@ def test_pallas_scan_matches_xla(staged_case):
     from nlzm_tpu.ops.wide_decode import plane_scan_fused
     from nlzm_tpu.ops.wide_scan_pallas import fused_scan_pallas
 
+    from nlzm_tpu.ops.wide_decode import stage_windows_of
+
     _, _, _, st = staged_case
     NP = len(PLANES)
-    seeds_f = jnp.concatenate([st["seeds"][i] for i in range(NP)], axis=1)
+    seeds_f = st["seeds_cat"]
     nsyms_f = jnp.stack([st["n_sym"][i] for i in range(NP)], axis=1)
     pr = st["priors"]
     priors_f = tuple(pr[PLANES[p].name][0] for p in range(NP)) if pr else None
-    wins = tuple(st["wins"][i] for i in range(NP))
+    wins = stage_windows_of(st)
     ref = plane_scan_fused(seeds_f, wins, nsyms_f, st["steps"][0], priors_f)
     got = fused_scan_pallas(
         seeds_f, wins, nsyms_f, st["steps"][0], priors_f, interpret=True
