@@ -307,37 +307,6 @@ def main() -> None:
     t_scans = best_of(lambda: run_stages("scans"))
     t_asm = best_of(lambda: run_stages("assembly"))
 
-    # ---- pallas fused-scan A/B (informational; XLA stays primary until
-    # the kernel wins on hardware) ----
-    try:
-        from nlzm_tpu.ops.wide_scan_pallas import fused_scan_pallas
-
-        def run_pallas_scans():
-            acc = jnp.zeros((), jnp.int32)
-            for staged, _ in buckets:
-                n_sym, steps = staged["n_sym"], staged["steps"]
-                priors = staged.get("priors")
-                wins = stage_windows_of(staged)
-                seeds_f = staged["seeds_cat"]
-                nsyms_f = jnp.stack([n_sym[i] for i in range(NP)], axis=1)
-                priors_f = None
-                if priors:
-                    priors_f = tuple(
-                        priors[PLANES[p].name][0] for p in range(NP))
-                ys = fused_scan_pallas(
-                    seeds_f, wins, nsyms_f, steps[0], priors_f)
-                acc = acc + jnp.sum(ys[0]) + jnp.sum(ys[4])
-            float(np.asarray(acc))
-
-        run_pallas_scans()  # compile
-        t_pscans = best_of(run_pallas_scans)
-        emit("tpu_pallas_scan_throughput", n / t_pscans / 1e6, "MB/s",
-             (n / t_pscans / 1e6) / 123.0,
-             xla_scan_mbs=round(n / t_scans / 1e6, 2))
-    except Exception as e:  # Mosaic rejection or OOM: report, keep going
-        emit("tpu_pallas_scan_throughput", 0.0, "MB/s", 0.0,
-             error=str(e)[:200])
-
     # ---- v1 FSM profile decode (the reference-compatible block profile) ----
     from nlzm_tpu.ops.decode_v2 import fsm_decode_v2
     from nlzm_tpu.parallel.blocks import pack_streams

@@ -812,15 +812,7 @@ def decode_wide_staged(staged, block_size: int):
     priors_f = None
     if priors:
         priors_f = tuple(priors[PLANES[p].name][0] for p in range(_NP))
-    if staged.get("use_pallas"):
-        from .wide_scan_pallas import fused_scan_pallas
-
-        ys = fused_scan_pallas(
-            seeds_f, wins, nsyms_f, steps[0],
-            priors_f, interpret=staged.get("pallas_interpret", False),
-        )
-    else:
-        ys = plane_scan_fused(seeds_f, wins, nsyms_f, steps[0], priors_f)
+    ys = plane_scan_fused(seeds_f, wins, nsyms_f, steps[0], priors_f)
     tok_y, lit_y, len_y, lex_y, slot_y = map(cap15, ys)
 
     op_len, op_val = assemble_ops(
