@@ -678,6 +678,317 @@ static i64 expand_ops(const i32* op_len, const i32* op_val, i64 t_count, u8* dst
   return w;
 }
 
+// ---- bounded-memory streaming drivers ----
+// Feed-driven twins of encode_frames_{optimal,greedy} / decode_frames:
+// the whole-buffer drivers hold the file; these hold O(window) in an
+// owned sliding buffer with memmove compaction, mirroring the
+// reference's overlapped refill (NLZM.cpp:1870-1885, 2014-2018).
+// Chunk scheduling is bit-identical to the whole-buffer paths: a chunk
+// runs once chunk_feed bytes are buffered (or at end-of-input), exactly
+// the flat drivers' min(n - chunk_start, chunk_feed).
+
+struct StreamEnc {
+  int hist_bits = 0;
+  int parser_id = 1;
+  u32 window = 0, chunk_size = 0, chunk_feed = 0;
+  View d;
+  Model m;
+  FrameSink frame;
+  FinderSet f;
+  std::unique_ptr<Parser> parser;
+  std::vector<u8> ring;  // input window + lookahead (ring[0] = ring_abs)
+  i64 ring_abs = 0;
+  i64 ring_len = 0;
+  std::vector<u8> out;  // pending compressed bytes
+  size_t out_off = 0;
+  u64 reads = 0, cmds = 0;
+  // greedy state
+  std::vector<u32> heads;
+  i64 gpos = 0;
+  i64 gchunk_end = 0;
+};
+
+static void senc_compact(StreamEnc* e) {
+  // keep [hist - window, end): everything matchers may still reference
+  i64 keep0;
+  if (e->parser_id == 1) {
+    i64 hist_ring = e->d.abs_base + i64(e->d.hist_pos);
+    keep0 = hist_ring - i64(e->window);
+  } else {
+    keep0 = e->gpos - i64(e->window) - e->ring_abs;
+  }
+  if (keep0 > 4096) {  // amortize the memmove
+    std::memmove(e->ring.data(), e->ring.data() + keep0, size_t(e->ring_len - keep0));
+    e->ring_abs += keep0;
+    e->ring_len -= keep0;
+    if (e->parser_id == 1) e->d.abs_base -= keep0;
+  }
+}
+
+static void senc_run_optimal(StreamEnc* e, bool final_) {
+  for (;;) {
+    i64 committed_ring = e->d.abs_base + i64(e->d.hist_pos);
+    i64 avail = e->ring_len - committed_ring;
+    if (avail <= 0) return;
+    if (!final_ && avail < i64(e->chunk_feed)) return;
+
+    u32 chunk_avail = u32(avail < i64(e->chunk_feed) ? avail : i64(e->chunk_feed));
+    u32 p_end = chunk_avail < e->chunk_size ? chunk_avail : e->chunk_size;
+
+    if (e->d.hist_pos >= 2 * e->window) {
+      e->d.hist_pos -= e->window;
+      e->d.abs_base += e->window;
+      e->f.shift(e->window);
+    }
+
+    Model& m = e->m;
+    View& d = e->d;
+    FrameSink& frame = e->frame;
+    u32 p = 0, parse_end = 0, parse_start = 0;
+    while (p < p_end) {
+      if (p == parse_end) {
+        d.look_len = chunk_avail - p;
+        u32 plen = e->parser->run(m, d, e->f.ht2, e->f.ht3, e->f.bt4, e->f.rk, p_end - p);
+        u32 cur = plen;
+        u32 nxt = kEmpty;
+        while (cur != kEmpty) {
+          u32 prev = e->parser->cell[cur].link;
+          e->parser->cell[cur].link = nxt;
+          nxt = cur;
+          cur = prev;
+        }
+        parse_start = p;
+        parse_end = p + plen;
+      }
+      u32 local = p - parse_start;
+      u32 to = e->parser->cell[local].link;
+      const ParseCell& target = e->parser->cell[to];
+      e->cmds++;
+      if (target.cmd == 0) {
+        int y = d.at(d.hist_pos);
+        emit_literal(frame, m, y);
+        d.hist_pos++;
+        p++;
+      } else if (target.cmd == 1) {
+        emit_match(frame, m, target.delta, target.len);
+        m.rep_add(target.delta);
+        d.hist_pos += target.len;
+        p += target.len;
+      } else {
+        u32 delta = m.rep[target.delta];
+        emit_rep(frame, m, target.delta, target.len);
+        m.rep_add(delta);
+        d.hist_pos += target.len;
+        p += target.len;
+      }
+    }
+    e->reads += frame.ops;
+    frame.serialize(e->out);
+    senc_compact(e);
+  }
+}
+
+static void senc_run_greedy(StreamEnc* e, bool final_) {
+  const u32 reach = e->window - 1;
+  Model& m = e->m;
+  FrameSink& frame = e->frame;
+  const u8* base = e->ring.data() - e->ring_abs;  // absolute addressing
+  i64 end_known = e->ring_abs + e->ring_len;
+  for (;;) {
+    i64 ahead = end_known - e->gpos;
+    if (ahead <= 0) break;
+    // a greedy step reads at most kMatchMax lookahead (+8 hash slack)
+    if (!final_ && ahead < i64(kMatchMax) + 8) break;
+
+    u32 best_len = 0, best_delta = 0;
+    int best_rep = -1;
+    i64 cend = e->gchunk_end < end_known || final_
+                   ? (e->gchunk_end < end_known ? e->gchunk_end : end_known)
+                   : e->gchunk_end;
+    u32 limit = u32(cend - e->gpos < i64(kMatchMax) ? cend - e->gpos : i64(kMatchMax));
+
+    if (limit >= kMatchMin && e->gpos + 4 <= end_known) {
+      u32 h = hash_of(read4(base + e->gpos)) >> 15;
+      u32 cand = e->heads[h];
+      e->heads[h] = u32(e->gpos);
+      if (cand != kEmpty && u64(cand) < u64(e->gpos)) {
+        u32 delta = u32(e->gpos) - cand;
+        if (delta <= reach) {
+          u32 mlen = 0;
+          while (mlen < limit && base[cand + mlen] == base[e->gpos + mlen]) mlen++;
+          if (mlen >= match_min_for(delta)) {
+            best_len = mlen;
+            best_delta = delta;
+          }
+        }
+      }
+      u32 rep0 = m.rep[0];
+      if (i64(rep0) <= e->gpos && rep0 <= reach) {
+        u32 mlen = 0;
+        const u8* s = base + e->gpos - rep0;
+        while (mlen < limit && s[mlen] == base[e->gpos + mlen]) mlen++;
+        if (mlen >= match_min_for(rep0) && mlen + 1 >= best_len) {
+          best_len = mlen;
+          best_delta = rep0;
+          best_rep = 0;
+        }
+      }
+    }
+
+    e->cmds++;
+    if (best_len >= kMatchMin) {
+      if (best_rep >= 0) {
+        emit_rep(frame, m, u32(best_rep), best_len);
+      } else {
+        emit_match(frame, m, best_delta, best_len);
+      }
+      m.rep_add(best_delta);
+      e->gpos += best_len;
+    } else {
+      emit_literal(frame, m, base[e->gpos]);
+      e->gpos++;
+    }
+
+    if (e->gpos >= cend && e->gpos >= e->gchunk_end) {
+      e->reads += frame.ops;
+      frame.serialize(e->out);
+      e->gchunk_end += i64(e->chunk_size);
+      senc_compact(e);
+      base = e->ring.data() - e->ring_abs;
+    }
+  }
+  if (final_ && frame.ops > 0) {
+    e->reads += frame.ops;
+    frame.serialize(e->out);
+  }
+}
+
+struct StreamDec {
+  int hist_bits = 0;
+  u32 window = 0;
+  Model m;
+  std::vector<u8> in;  // undecoded compressed bytes
+  size_t in_off = 0;
+  std::vector<u8> hist;  // decoded suffix: [0, w) with w <= window + slack
+  i64 w = 0;
+  std::vector<u8> out;  // decoded bytes ready to drain
+  size_t out_off = 0;
+  bool done = false;
+  bool error = false;
+};
+
+static void sdec_run(StreamDec* s) {
+  // decode every fully-buffered frame; flush history beyond one window
+  for (;;) {
+    if (s->done || s->error) return;
+    size_t have = s->in.size() - s->in_off;
+    if (have < 4) return;
+    const u8* p = s->in.data() + s->in_off;
+    u32 ops = (u32(p[0]) << 24) | (u32(p[1]) << 16) | (u32(p[2]) << 8) | p[3];
+    if (ops == 0) {
+      s->in_off += 4;
+      s->done = true;
+      return;
+    }
+    if (have < 12) return;
+    u32 nbits = (u32(p[4]) << 24) | (u32(p[5]) << 16) | (u32(p[6]) << 8) | p[7];
+    u32 nrans = (u32(p[8]) << 24) | (u32(p[9]) << 16) | (u32(p[10]) << 8) | p[11];
+    u64 need = u64(nbits) + nrans;
+    if (nbits < 16 || need > (64u << 20)) {  // sanity: corrupt header
+      s->error = true;
+      return;
+    }
+    if (have < need) return;
+
+    FrameSource fr;
+    if (!fr.init(p, p + need)) {
+      s->error = true;
+      return;
+    }
+    // one frame decodes at most ~chunk_size bytes; grow generously
+    i64 cap_hint = s->w + i64(chunk_size_for(20)) + kMatchMax + 4096;
+    if (i64(s->hist.size()) < cap_hint) s->hist.resize(size_t(cap_hint));
+    u8* dst = s->hist.data();
+    i64 cap = i64(s->hist.size());
+    while (fr.ops > 0) {
+      int cmd = fr.get_cdf(s->m.cmd);
+      if (cmd == 0) {
+        int hi = fr.get_cdf(s->m.lit_hi);
+        int lo = fr.get_cdf(s->m.lit_lo[hi]);
+        if (s->w >= cap) {
+          s->error = true;
+          return;
+        }
+        dst[s->w++] = u8((hi << 4) | lo);
+      } else {
+        u32 lv, dv;
+        if (cmd == 2) {
+          u32 ri = fr.get_bits(2);
+          lv = u32(fr.get_cdf(s->m.len_dir));
+          if (lv == 7) {
+            int hi = fr.get_cdf(s->m.len_ehi);
+            int lo = fr.get_cdf(s->m.len_elo[hi]);
+            lv += u32((hi << 4) + lo);
+          }
+          dv = s->m.rep[ri];
+        } else {
+          lv = u32(fr.get_cdf(s->m.len_dir));
+          if (lv == 7) {
+            int hi = fr.get_cdf(s->m.len_ehi);
+            int lo = fr.get_cdf(s->m.len_elo[hi]);
+            lv += u32((hi << 4) + lo);
+          }
+          u32 lc = lv < 3 ? lv : 3;
+          u32 sh = u32(fr.get_cdf(s->m.dist_hi[lc]));
+          u32 sl = u32(fr.get_cdf(s->m.dist_lo[lc][sh]));
+          dv = (sh << 3) + sl;
+          if (dv >= 4) {
+            u32 ab = (dv >> 1) - 1;
+            dv = (2 + (dv & 1)) << ab;
+            if (ab < 4) {
+              dv += fr.get_bits(ab);
+            } else {
+              ab -= 4;
+              if (ab > 0) dv += fr.get_bits(ab) << 4;
+              dv += fr.get_bits(4);
+            }
+          } else {
+            // dv stays the slot value
+          }
+          dv += 1;
+        }
+        u32 len = lv + match_min_for(dv);
+        s->m.rep_add(dv);
+        // history below hist[0] was flushed; dv may not reach past it
+        if (s->w + i64(len) > cap || i64(dv) > s->w) {
+          s->error = true;
+          return;
+        }
+        const u8* src2 = dst + s->w - dv;
+        u8* o = dst + s->w;
+        for (u32 i = 0; i < len; i++) o[i] = src2[i];
+        s->w += len;
+      }
+    }
+    s->in_off += size_t(need);
+    if (s->in_off > (8u << 20) && s->in_off * 2 > s->in.size()) {
+      s->in.erase(s->in.begin(), s->in.begin() + i64(s->in_off));
+      s->in_off = 0;
+    }
+    // flush all but the last window bytes
+    if (s->w > i64(s->window)) {
+      i64 flush = s->w - i64(s->window);
+      s->out.insert(s->out.end(), dst, dst + flush);
+      std::memmove(dst, dst + flush, size_t(s->w - flush));
+      s->w -= flush;
+    }
+    // pause once plenty of output is pending: keeps peak memory
+    // O(window) however compressible the stream is (the caller drains
+    // and re-feeds with n=0 to continue)
+    if (s->out.size() - s->out_off > (8u << 20)) return;
+  }
+}
+
 }  // namespace nlzm
 
 // ======================== C API ========================
@@ -1173,5 +1484,118 @@ int nlzmx_lift_split_one(const unsigned char* blk, long long blk_len,
   *out_T = t;
   return 0;
 }
+
+// ---- streaming encode: O(window) memory, frames-only payload ----
+void* nlzmx_senc_new(int hist_bits, int parser_id) {
+  auto* e = new StreamEnc();
+  e->hist_bits = hist_bits;
+  e->parser_id = parser_id;
+  e->window = 1u << hist_bits;
+  int fb = frame_bits_for(hist_bits);
+  e->chunk_size = chunk_size_for(fb);
+  e->chunk_feed = e->chunk_size + kMatchMax + 1;
+  e->m.init();
+  if (parser_id == 1) {
+    e->f.setup(hist_bits);
+    e->parser = std::make_unique<Parser>();
+    e->d.buf = nullptr;
+    e->d.abs_base = 0;
+    e->d.hist_pos = 0;
+    e->d.mask = e->window - 1;
+  } else {
+    e->heads.assign(size_t(1) << 17, kEmpty);
+    e->gchunk_end = i64(e->chunk_size);
+  }
+  return e;
+}
+
+int nlzmx_senc_feed(void* h, const unsigned char* p, long long n, int final_) {
+  auto* e = static_cast<StreamEnc*>(h);
+  if (n > 0) {
+    e->ring.resize(size_t(e->ring_len + n));
+    std::memcpy(e->ring.data() + e->ring_len, p, size_t(n));
+    e->ring_len += n;
+  }
+  if (e->parser_id == 1) {
+    e->d.buf = e->ring.data();
+    senc_run_optimal(e, final_ != 0);
+  } else {
+    senc_run_greedy(e, final_ != 0);
+  }
+  return 0;
+}
+
+long long nlzmx_senc_pending(void* h) {
+  auto* e = static_cast<StreamEnc*>(h);
+  return i64(e->out.size() - e->out_off);
+}
+
+long long nlzmx_senc_take(void* h, unsigned char* dst, long long cap) {
+  auto* e = static_cast<StreamEnc*>(h);
+  i64 n = i64(e->out.size() - e->out_off);
+  if (n > cap) n = cap;
+  std::memcpy(dst, e->out.data() + e->out_off, size_t(n));
+  e->out_off += size_t(n);
+  if (e->out_off == e->out.size()) {
+    e->out.clear();
+    e->out_off = 0;
+  }
+  return n;
+}
+
+void nlzmx_senc_stats(void* h, long long* reads, long long* cmds) {
+  auto* e = static_cast<StreamEnc*>(h);
+  if (reads) *reads = i64(e->reads);
+  if (cmds) *cmds = i64(e->cmds);
+}
+
+void nlzmx_senc_free(void* h) { delete static_cast<StreamEnc*>(h); }
+
+// ---- streaming decode: O(window) memory ----
+void* nlzmx_sdec_new(int hist_bits) {
+  auto* s = new StreamDec();
+  s->hist_bits = hist_bits;
+  s->window = 1u << hist_bits;
+  s->m.init();
+  return s;
+}
+
+// Returns 0 (need more / ok), 1 (sentinel reached), -1 (corrupt stream).
+int nlzmx_sdec_feed(void* h, const unsigned char* p, long long n) {
+  auto* s = static_cast<StreamDec*>(h);
+  if (s->error) return -1;
+  if (n > 0) s->in.insert(s->in.end(), p, p + n);
+  sdec_run(s);
+  if (s->error) return -1;
+  if (s->done) {
+    // flush the retained window tail
+    if (s->w > 0) {
+      s->out.insert(s->out.end(), s->hist.data(), s->hist.data() + s->w);
+      s->w = 0;
+    }
+    return 1;
+  }
+  return 0;
+}
+
+long long nlzmx_sdec_pending(void* h) {
+  auto* s = static_cast<StreamDec*>(h);
+  return i64(s->out.size() - s->out_off);
+}
+
+long long nlzmx_sdec_take(void* h, unsigned char* dst, long long cap) {
+  auto* s = static_cast<StreamDec*>(h);
+  i64 n = i64(s->out.size() - s->out_off);
+  if (n > cap) n = cap;
+  std::memcpy(dst, s->out.data() + s->out_off, size_t(n));
+  s->out_off += size_t(n);
+  if (s->out_off == s->out.size()) {
+    s->out.clear();
+    s->out_off = 0;
+  }
+  return n;
+}
+
+void nlzmx_sdec_free(void* h) { delete static_cast<StreamDec*>(h); }
 
 }  // extern "C"

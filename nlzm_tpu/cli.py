@@ -99,38 +99,56 @@ def main(argv=None) -> int:
 
         if os.path.exists(dst):
             return _fail(f"{dst} already exists")
-        data = open(src, "rb").read()
+        flen = os.stat(src).st_size
         if verbose:
             from .utils.metrics import memory_report
 
             if block_size:
                 from .parallel.blocks import hist_bits_for_block
 
-                nb = (len(data) + block_size - 1) // block_size
+                nb = (flen + block_size - 1) // block_size
                 print(memory_report(hist_bits_for_block(block_size), block_size, nb))
             else:
                 print(memory_report(window_bits))
         from .utils.metrics import Metrics, ProgressLine
 
         m = Metrics()
-        prog = ProgressLine(len(data))
-        with m.stage("encode", len(data)):
-            if block_size:
+        prog = ProgressLine(flen)
+        from . import native
+
+        stream_ok = (
+            not block_size
+            and engine in ("auto", "native")
+            and native.available()
+        )
+        with m.stage("encode", flen):
+            if stream_ok:
+                # bounded-memory streaming driver: RSS stays O(window)
+                # however large the file (reference NLZM.cpp:1870-1885)
+                from .codec import encode_file
+
+                r = encode_file(src, dst, window_bits, parser=parser, progress=prog)
+            elif block_size:
+                data = open(src, "rb").read()
                 from .parallel.blocks import encode_container
 
                 out = encode_container(
                     data, block_size=block_size, parser=parser, engine=engine,
                     profile=profile, progress=prog,
                 )
+                open(dst, "wb").write(out)
+                r = {"in": len(data), "out": len(out), "crc32": crc32(data)}
             else:
+                data = open(src, "rb").read()
                 from .codec import encode_bytes
 
                 out = encode_bytes(data, window_bits, parser=parser, engine=engine, progress=prog)
+                open(dst, "wb").write(out)
+                r = {"in": len(data), "out": len(out), "crc32": crc32(data)}
         prog.finish()
-        open(dst, "wb").write(out)
         print(
-            f"{len(data)} -> {len(out)} bytes "
-            f"(input CRC32 {crc32(data):X}, {m.stages['encode'].seconds:.2f} sec)"
+            f"{r['in']} -> {r['out']} bytes "
+            f"(input CRC32 {r['crc32']:X}, {m.stages['encode'].seconds:.2f} sec)"
         )
         if verbose:
             print(m.report())
@@ -145,12 +163,33 @@ def main(argv=None) -> int:
 
         if dst and os.path.exists(dst):
             return _fail(f"{dst} already exists")
-        data = open(src, "rb").read()
+        from . import native
+        from .parallel.blocks import MAGIC
+        from .utils.metrics import ProgressLine
+
+        with open(src, "rb") as f:
+            magic = f.read(4)
+        flen = os.stat(src).st_size
         t0 = time.time()
-        out = _decode_any(data, engine)
-        if dst:
-            open(dst, "wb").write(out)
-        print(f"{len(data)} -> {len(out)} bytes (output CRC32 {crc32(out):X}, {time.time() - t0:.2f} sec)")
+        if (
+            magic[:4] != MAGIC
+            and engine in ("auto", "native")
+            and native.available()
+        ):
+            # single-stream format: bounded-memory streaming decode
+            from .codec import decode_file
+
+            prog = ProgressLine(flen)
+            r = decode_file(src, dst, progress=prog)
+            prog.finish()
+            n_in, n_out, crc = r["in"], r["out"], r["crc32"]
+        else:
+            data = open(src, "rb").read()
+            out = _decode_any(data, engine)
+            if dst:
+                open(dst, "wb").write(out)
+            n_in, n_out, crc = len(data), len(out), crc32(out)
+        print(f"{n_in} -> {n_out} bytes (output CRC32 {crc:X}, {time.time() - t0:.2f} sec)")
         return 0
 
     return _usage()

@@ -155,3 +155,112 @@ def encode_bytes(
         header = hist_bits.to_bytes(2, "big") + frame_bits_for(hist_bits).to_bytes(2, "big")
         return header + payload + SENTINEL_FRAME
     return SerialEncoder(hist_bits, parser=parser, progress=progress).encode(data)
+
+
+# ---------------------------------------------------------------- files
+# Bounded-memory file drivers: the reference encodes/decodes arbitrarily
+# large files through fixed buffers with overlapped refill
+# (NLZM.cpp:1870-1885, 2014-2018); these mirror that with the native
+# streaming codec - RSS stays O(window), independent of file size.
+
+_IO_CHUNK = 4 << 20
+
+
+def encode_file(
+    src_path,
+    dst_path,
+    hist_bits: int = DEFAULT_HIST_BITS,
+    parser: str = "optimal",
+    progress=None,
+) -> dict:
+    """Stream-encode a file into an NLZM stream (reference-decodable).
+
+    Byte-identical to encode_bytes on the same input (same chunk
+    schedule; the native streaming encoder is differentially tested
+    against the whole-buffer path). Requires the native runtime.
+    Returns {"in", "out", "crc32"}.
+    """
+    import os
+
+    from . import native
+
+    if parser not in ("greedy", "optimal"):
+        raise ValueError(f"unknown parser {parser!r}")
+    flen = os.stat(src_path).st_size
+    hist_bits = max(MIN_HIST_BITS_DECODE, min(MAX_HIST_BITS, hist_bits))
+    hist_bits = shrink_hist_bits(hist_bits, flen)
+
+    enc = native.StreamEncoder(hist_bits, parser)
+    crc = 0
+    done = 0
+    out_total = 0
+    with open(src_path, "rb") as fin, open(dst_path, "wb") as fout:
+        header = hist_bits.to_bytes(2, "big") + frame_bits_for(hist_bits).to_bytes(2, "big")
+        fout.write(header)
+        out_total += len(header)
+        while True:
+            chunk = fin.read(_IO_CHUNK)
+            final = len(chunk) < _IO_CHUNK
+            crc = native.crc32(chunk, crc)
+            out = enc.feed(chunk, final=final)
+            fout.write(out)
+            out_total += len(out)
+            done += len(chunk)
+            if progress is not None:
+                progress.update(done, out_total)
+            if final:
+                break
+        fout.write(SENTINEL_FRAME)
+        out_total += len(SENTINEL_FRAME)
+    enc.close()
+    return {"in": done, "out": out_total, "crc32": crc}
+
+
+def decode_file(src_path, dst_path, progress=None) -> dict:
+    """Stream-decode an NLZM stream file; dst_path=None = test mode
+    (decode + CRC only, like the reference's `t`). Returns
+    {"in", "out", "crc32"}."""
+    import os
+
+    from . import native
+
+    flen = os.stat(src_path).st_size
+    with open(src_path, "rb") as fin:
+        header = fin.read(FILE_HEADER_BYTES)
+        if len(header) < FILE_HEADER_BYTES:
+            raise FormatError("truncated header")
+        hist_bits = int.from_bytes(header[0:2], "big")
+        frame_bits = int.from_bytes(header[2:4], "big")
+        if not (MIN_HIST_BITS_DECODE <= hist_bits <= MAX_HIST_BITS):
+            raise FormatError(f"hist_bits {hist_bits} out of range")
+        if not (MIN_FRAME_BITS <= frame_bits <= MAX_FRAME_BITS):
+            raise FormatError(f"frame_bits {frame_bits} out of range")
+        dec = native.StreamDecoder(hist_bits)
+        crc = 0
+        done = len(header)
+        out_total = 0
+        fout = open(dst_path, "wb") if dst_path else None
+        try:
+            while not dec.done:
+                chunk = fin.read(_IO_CHUNK)
+                if not chunk:
+                    raise FormatError("truncated stream (no sentinel)")
+                done += len(chunk)
+                # the native decoder pauses with ~8 MB pending so peak
+                # memory stays O(window); pump with empty feeds until dry
+                while True:
+                    out = dec.feed(chunk)
+                    chunk = b""
+                    crc = native.crc32(out, crc)
+                    if fout:
+                        fout.write(out)
+                    out_total += len(out)
+                    if progress is not None:
+                        progress.update(min(done, flen), out_total)
+                    if dec.done or not out:
+                        break
+        finally:
+            if fout:
+                fout.close()
+        dec.close()
+    return {"in": done, "out": out_total, "crc32": crc}

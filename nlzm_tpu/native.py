@@ -105,6 +105,29 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_decode_blocks.argtypes = [
         c_u8p, c_i64, c_i64p, c_i64, ctypes.c_int, c_i64, ctypes.c_int, c_u8p, c_i64,
     ]
+
+    lib.nlzmx_senc_new.restype = ctypes.c_void_p
+    lib.nlzmx_senc_new.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.nlzmx_senc_feed.restype = ctypes.c_int
+    lib.nlzmx_senc_feed.argtypes = [ctypes.c_void_p, c_u8p, c_i64, ctypes.c_int]
+    lib.nlzmx_senc_pending.restype = c_i64
+    lib.nlzmx_senc_pending.argtypes = [ctypes.c_void_p]
+    lib.nlzmx_senc_take.restype = c_i64
+    lib.nlzmx_senc_take.argtypes = [ctypes.c_void_p, c_u8p, c_i64]
+    lib.nlzmx_senc_stats.restype = None
+    lib.nlzmx_senc_stats.argtypes = [ctypes.c_void_p, c_i64p, c_i64p]
+    lib.nlzmx_senc_free.restype = None
+    lib.nlzmx_senc_free.argtypes = [ctypes.c_void_p]
+    lib.nlzmx_sdec_new.restype = ctypes.c_void_p
+    lib.nlzmx_sdec_new.argtypes = [ctypes.c_int]
+    lib.nlzmx_sdec_feed.restype = ctypes.c_int
+    lib.nlzmx_sdec_feed.argtypes = [ctypes.c_void_p, c_u8p, c_i64]
+    lib.nlzmx_sdec_pending.restype = c_i64
+    lib.nlzmx_sdec_pending.argtypes = [ctypes.c_void_p]
+    lib.nlzmx_sdec_take.restype = c_i64
+    lib.nlzmx_sdec_take.argtypes = [ctypes.c_void_p, c_u8p, c_i64]
+    lib.nlzmx_sdec_free.restype = None
+    lib.nlzmx_sdec_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -183,6 +206,93 @@ def expand_ops(op_len: np.ndarray, op_val: np.ndarray, out_cap: int,
     if got < 0:
         raise RuntimeError("native expand failed")
     return dst[:got].tobytes()
+
+
+class StreamEncoder:
+    """Bounded-memory streaming NLZM encoder (frames-only payload).
+
+    Feed input in chunks, drain compressed bytes as they complete;
+    native state holds O(window) regardless of file size - the
+    reference's overlapped-refill driver (NLZM.cpp:1870-1885) as a
+    feed-driven API. Byte-identical to encode_block on the same input
+    (same chunk schedule; differentially tested)."""
+
+    def __init__(self, hist_bits: int, parser: str = "optimal"):
+        self._lib = load()
+        self._h = self._lib.nlzmx_senc_new(hist_bits, _PARSER_IDS[parser])
+        self.hist_bits = hist_bits
+
+    def _drain(self) -> bytes:
+        n = self._lib.nlzmx_senc_pending(self._h)
+        if n == 0:
+            return b""
+        buf = np.empty(n, np.uint8)
+        got = self._lib.nlzmx_senc_take(self._h, _u8p(buf), n)
+        return buf[:got].tobytes()
+
+    def feed(self, data: bytes, final: bool = False) -> bytes:
+        arr = np.frombuffer(data, np.uint8)
+        self._lib.nlzmx_senc_feed(
+            self._h, _u8p(arr) if len(arr) else _u8p(np.zeros(1, np.uint8)),
+            len(arr), 1 if final else 0,
+        )
+        return self._drain()
+
+    def finish(self) -> bytes:
+        return self.feed(b"", final=True)
+
+    def stats(self):
+        import ctypes as ct
+
+        reads = np.zeros(1, np.int64)
+        cmds = np.zeros(1, np.int64)
+        p64 = ct.POINTER(ct.c_longlong)
+        self._lib.nlzmx_senc_stats(
+            self._h, reads.ctypes.data_as(p64), cmds.ctypes.data_as(p64))
+        return int(reads[0]), int(cmds[0])
+
+    def close(self):
+        if self._h:
+            self._lib.nlzmx_senc_free(self._h)
+            self._h = None
+
+    __del__ = close
+
+
+class StreamDecoder:
+    """Bounded-memory streaming NLZM decoder (frames-only payload).
+
+    Feed compressed bytes, drain decoded output; native state holds one
+    window of history. `done` flips when the sentinel frame is seen."""
+
+    def __init__(self, hist_bits: int):
+        self._lib = load()
+        self._h = self._lib.nlzmx_sdec_new(hist_bits)
+        self.done = False
+
+    def feed(self, data: bytes) -> bytes:
+        arr = np.frombuffer(data, np.uint8)
+        rc = self._lib.nlzmx_sdec_feed(
+            self._h, _u8p(arr) if len(arr) else _u8p(np.zeros(1, np.uint8)),
+            len(arr),
+        )
+        if rc < 0:
+            raise RuntimeError("corrupt NLZM stream")
+        if rc == 1:
+            self.done = True
+        n = self._lib.nlzmx_sdec_pending(self._h)
+        if n == 0:
+            return b""
+        buf = np.empty(n, np.uint8)
+        got = self._lib.nlzmx_sdec_take(self._h, _u8p(buf), n)
+        return buf[:got].tobytes()
+
+    def close(self):
+        if self._h:
+            self._lib.nlzmx_sdec_free(self._h)
+            self._h = None
+
+    __del__ = close
 
 
 def encode_blocks(data: bytes, block_size: int, hist_bits: int, parser: str = "optimal", threads: int = 0):
