@@ -265,20 +265,35 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
 # -------------------------------------------------------- the fused scan
 # ALL FIVE planes are single-read with context-free row-0 tables (wire
 # v4), so their scans fuse into ONE: every lane advances together per
-# step through per-plane fence compares, one joint rANS update and one
-# window select - per-step op count is what the chip bills for at these
-# tensor sizes (~8us fixed cost per op), and the fused scan runs
-# max(steps_p) steps instead of sum(steps_p). Each plane's fence compare
-# runs at its OWN alphabet width against per-chunk-static tables hoisted
-# OUT of the step loop (built once per chunk in chunk_body). Stream
-# consumption per plane is unchanged byte-for-byte: each plane keeps its
-# own window, cursor and chunk schedule prefix.
+# step through fence compares, one joint rANS update and one window
+# select - per-step op COUNT is what the chip bills for at these tensor
+# sizes (~8us fixed cost per op), and the fused scan runs max(steps_p)
+# steps instead of sum(steps_p).
+#
+# Lane layout (internal to the decoder; the wire keeps the PLANES
+# order): planes are PERMUTED into two alphabet groups so the five
+# per-plane fence compares batch into TWO same-shape compares per step -
+# group A = tok|len|dst (64+32+32 = 128 lanes, alphabets <= 64) compares
+# at a padded width of 64, group B = lit|lex (80 lanes, alphabet 256) at
+# 256. Grouping cut 3 dispatched kernels per step (measured; the step
+# loop is dispatch-bound, ~8us per op through this relay). start/freq
+# derive from the same compare by min/max over fences (largest fence
+# <= f, smallest fence > f) instead of masked delta sums. The per-lane
+# grouped fence tensors are chunk-static, built once per chunk in
+# chunk_body.
 _NP = len(PLANES)
-_P1_L = tuple(PLANES[i].lanes for i in range(_NP))  # tok,lit,len,lex,dst
-_P1_BASE = tuple(int(np.cumsum((0,) + _P1_L)[i]) for i in range(_NP))
+# slot order: tok, len, dst, lit, lex (slot q holds plane _P1_PERM[q])
+_P1_PERM = (0, 2, 4, 1, 3)
+_P1_SLOT = tuple(_P1_PERM.index(p) for p in range(_NP))  # plane -> slot
+_P1_L = tuple(PLANES[_P1_PERM[q]].lanes for q in range(_NP))
+_P1_BASE = tuple(int(np.cumsum((0,) + _P1_L)[q]) for q in range(_NP))
 _P1_LTOT = sum(_P1_L)
-_P1_ALPH = tuple(PLANES[i].alphabets[0] for i in range(_NP))
+_P1_ALPH = tuple(PLANES[_P1_PERM[q]].alphabets[0] for q in range(_NP))
 _P1_BOUNDS = tuple((b, b + l) for b, l in zip(_P1_BASE, _P1_L))
+_P1_NA = 3  # slots 0.._P1_NA-1 form group A (alph <= _P1_WA)
+_P1_WA = 64
+_P1_A_END = _P1_BOUNDS[_P1_NA - 1][1]
+assert _P1_A_END == 128 and all(a <= _P1_WA for a in _P1_ALPH[:_P1_NA])
 
 
 def _seg_ranks(renorm, bounds):
@@ -300,12 +315,14 @@ def _seg_ranks(renorm, bounds):
 def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     """Decode ALL planes (tok+lit+len+lex+dst) in one fused scan.
 
-    seeds: [B, LTOT] u32 lane states (tok|lit|len|lex|dst). wins: tuple
-    of per-plane [NC, B, WH_p] chunk windows (NC = global chunk count
-    for `steps`). n_syms: [B, NP] per-plane symbol counts. priors:
-    optional NP-tuple of [1, alph] counts.
-    Returns (tok_y, lit_y, len_y, lex_y, slot_y); plane p's array is
-    [B, steps * L_p].
+    seeds: [B, LTOT] u32 lane states in SLOT order (tok|len|dst|lit|lex,
+    the grouped internal layout - prepare_wide lays them out). wins:
+    tuple of per-plane [NC, B, WH_p] chunk windows in ORIGINAL plane
+    order (NC = global chunk count for `steps`). n_syms: [B, NP]
+    per-plane symbol counts, original order. priors: optional NP-tuple
+    of [1, alph] counts, original order.
+    Returns (tok_y, lit_y, len_y, lex_y, slot_y) in original plane
+    order; plane p's array is [B, steps * L_p].
     """
     from ..format.wide import chunk_schedule
 
@@ -323,11 +340,18 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
     f32 = jnp.float32
     PX = jax.lax.Precision.HIGHEST
 
-    pid = np.concatenate([np.full(l, i, np.int32) for i, l in enumerate(_P1_L)])
+    # pid = ORIGINAL plane id per (slot-ordered) lane: n_syms and the
+    # window bases stay indexed by wire plane order
+    pid = np.concatenate(
+        [np.full(_P1_L[q], _P1_PERM[q], np.int32) for q in range(_NP)]
+    )
     lane_off = np.concatenate([np.arange(l, dtype=np.int32) for l in _P1_L])
     lane_lp = np.concatenate([np.full(l, l, np.int32) for l in _P1_L])
     base_w_lane = jnp.asarray(np.asarray(base_w, np.int32)[pid])  # [LTOT]
     pid_j = jnp.asarray(pid)
+    slot_j = jnp.asarray(
+        np.concatenate([np.full(_P1_L[q], q, np.int32) for q in range(_NP)])
+    )
 
     t_iota = jnp.arange(steps, dtype=_I32)
     nsym_lane = jnp.take(n_syms, pid_j, axis=1)  # [B, LTOT]
@@ -355,36 +379,37 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
             .astype(_U32)
         )
 
-    def make_step(win3, fences, dtbls):
-        # fences/dtbls: per-plane [B, 1, alph_p] fence[1..alph] tables and
-        # deltas (chunk-static). The compare runs at each plane's OWN
-        # alphabet width - tok/len/dst need 4/8/64 columns, not the joint
-        # 256 (a 2.3x cut in fence-compare work vs the padded joint form);
-        # the [B, 1, .] tables broadcast against [B, L_p, 1] states, so no
-        # materialized per-lane copies either.
+    S14 = CDF_SCALE_TOTAL
+
+    def make_step(win3, fenA, fenB):
+        # fenA/fenB: grouped PER-LANE fence tensors (chunk-static, built
+        # once per chunk): [B, 128, 64] for tok|len|dst and [B, 80, 256]
+        # for lit|lex. Two same-shape compares replace five per-plane
+        # ones - the step loop is dispatch-bound, so kernels per step,
+        # not compare FLOPs, set its cost. start (largest fence <= f)
+        # and the symbol span end (smallest fence > f) come from min/max
+        # over the same compare; freq = end - start.
+        def group(fg, fen):
+            cmp = fg[:, :, None] >= fen  # [B, Lg, Wg]
+            yg = jnp.sum(cmp.astype(_I32), axis=2)
+            sg = jnp.max(jnp.where(cmp, fen, 0), axis=2)
+            eg = jnp.min(jnp.where(cmp, S14, fen), axis=2)
+            return yg, sg, eg
+
         def step_body(carry, active):
             x, rels = carry
 
             f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
-            ys_p, start_p, freq_p = [], [], []
-            for p in range(_NP):
-                s, e = _P1_BOUNDS[p]
-                fp = f[:, s:e, None]  # [B, L_p, 1]
-                cmp = (fp >= fences[p]).astype(_I32)  # [B, L_p, alph_p]
-                ys_p.append(jnp.sum(cmp, axis=2))
-                start_p.append(jnp.sum(cmp * dtbls[p], axis=2))
-                cmp1 = jnp.concatenate(
-                    [jnp.ones((B, _P1_L[p], 1), _I32), cmp[:, :, :-1]], axis=2
-                )
-                freq_p.append(jnp.sum((cmp1 - cmp) * dtbls[p], axis=2))
-            y = jnp.concatenate(ys_p, axis=1)
-            start = jnp.concatenate(start_p, axis=1)
-            freq = jnp.concatenate(freq_p, axis=1)
+            yA, sA, eA = group(f[:, :_P1_A_END], fenA)
+            yB, sB, eB = group(f[:, _P1_A_END:], fenB)
+            y = jnp.concatenate([yA, yB], axis=1)
+            start = jnp.concatenate([sA, sB], axis=1)
+            freq = jnp.concatenate([eA - sA, eB - sB], axis=1)
 
             x2 = freq.astype(_U32) * (x >> CDF_SCALE_BITS) + (f - start).astype(_U32)
             renorm = active & (x2 < jnp.asarray(1 << 16, _U32))
             rank, totals = _seg_ranks(renorm, _P1_BOUNDS)
-            rel_lane = jnp.take(rels, pid_j, axis=1)
+            rel_lane = jnp.take(rels, slot_j, axis=1)
             h = jnp.clip(base_w_lane[None, :] + rel_lane + rank, 0, WHc - 1)
             pair = fetch_pairs(win3, h)
             x3 = jnp.where(renorm, (x2 << 16) | pair, x2)
@@ -396,21 +421,32 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
 
         return step_body
 
+    def grouped_fences(tables):
+        """Per-lane grouped fence tensors from the per-slot tables."""
+        partsA, partsB = [], []
+        for q in range(_NP):
+            t = tables[q][:, 0, 1:]  # [B, alph] fences 1..alph
+            if q < _P1_NA:
+                t = jnp.concatenate(
+                    [t, jnp.full((B, _P1_WA - _P1_ALPH[q]), S14, _I32)],
+                    axis=1,
+                ) if _P1_ALPH[q] < _P1_WA else t
+                partsA.append(jnp.broadcast_to(t[:, None, :], (B, _P1_L[q], _P1_WA)))
+            else:
+                partsB.append(jnp.broadcast_to(t[:, None, :], (B, _P1_L[q], 256)))
+        return jnp.concatenate(partsA, axis=1), jnp.concatenate(partsB, axis=1)
+
     def chunk_body(carry, xs):
         x, tables, carries = carry
         active_c, win_c = xs
         win3 = win_c.reshape(B, WHc // 64, 64).astype(f32)
-        # hoist the per-plane fence/delta tables out of the step loop:
+        # hoist the grouped per-lane fence tensors out of the step loop:
         # tables change only at chunk boundaries
-        fences, dtbls = [], []
-        for p in range(_NP):
-            t = tables[p]  # [B, 1, alph+1]
-            fences.append(t[:, :, 1:])
-            dtbls.append(t[:, :, 1:] - t[:, :, :-1])
+        fenA, fenB = grouped_fences(tables)
 
         rel0 = jnp.zeros((B, _NP), _I32)
         (x, _), ys = jax.lax.scan(
-            make_step(win3, tuple(fences), tuple(dtbls)), (x, rel0), active_c
+            make_step(win3, fenA, fenB), (x, rel0), active_c
         )
         # realized symbol counts once per chunk from the scan output
         # (identical sums to per-step accumulation, ~1/clen of the ops)
@@ -433,16 +469,19 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         )
         return (x, new_tables, new_carries), ys
 
+    # tables/carries ride in SLOT order; priors arrive in wire order
     if priors is None:
-        tables0 = tuple(_uniform_tables(B, 1, _P1_ALPH[p]) for p in range(_NP))
-        carries0 = tuple(jnp.zeros((B, 1, _P1_ALPH[p]), _I32) for p in range(_NP))
+        tables0 = tuple(_uniform_tables(B, 1, _P1_ALPH[q]) for q in range(_NP))
+        carries0 = tuple(jnp.zeros((B, 1, _P1_ALPH[q]), _I32) for q in range(_NP))
     else:
         carries0 = tuple(
-            jnp.broadcast_to(priors[p][None], (B, 1, _P1_ALPH[p])).astype(_I32)
-            for p in range(_NP)
+            jnp.broadcast_to(
+                priors[_P1_PERM[q]][None], (B, 1, _P1_ALPH[q])
+            ).astype(_I32)
+            for q in range(_NP)
         )
         tables0 = tuple(
-            _build_cdf_jnp(carries0[p], _P1_ALPH[p]) for p in range(_NP)
+            _build_cdf_jnp(carries0[q], _P1_ALPH[q]) for q in range(_NP)
         )
 
     schedule = chunk_schedule(steps)
@@ -468,8 +507,11 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         c0 += count
 
     y0 = jnp.concatenate(ys_parts, axis=0).transpose(1, 0, 2)  # [B, steps, LTOT]
+    # un-permute: original plane p lives at its slot's lane bounds
     return tuple(
-        y0[:, :, _P1_BOUNDS[p][0] : _P1_BOUNDS[p][1]].reshape(B, steps * _P1_L[p])
+        y0[
+            :, :, _P1_BOUNDS[_P1_SLOT[p]][0] : _P1_BOUNDS[_P1_SLOT[p]][1]
+        ].reshape(B, steps * PLANES[p].lanes)
         for p in range(_NP)
     )
 
@@ -710,12 +752,14 @@ def prepare_wide(payloads, priors_blob: bytes | None = None):
     )
     NC = len(chunk_schedule(steps_fused))
 
-    # per-plane stream geometry (pair = halfword units)
+    # per-plane stream geometry (pair = halfword units); seeds lay out
+    # in the fused scan's SLOT order (grouped lane layout)
     seeds_cat = np.zeros((B, _P1_LTOT), np.uint32)
     hw_lens = np.zeros((B, N_PLANES), np.int64)
     for i in range(N_PLANES):
         L = PLANES[i].lanes
-        seeds_cat[:, _P1_BASE[i] : _P1_BASE[i] + L] = np.frombuffer(
+        q0 = _P1_BASE[_P1_SLOT[i]]
+        seeds_cat[:, q0 : q0 + L] = np.frombuffer(
             b"".join(s[: 4 * L] for s in plane_streams[i]), "<u4"
         ).reshape(B, L)
         hw_lens[:, i] = [(len(s) - 4 * L) // 2 for s in plane_streams[i]]
