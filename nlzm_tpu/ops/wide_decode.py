@@ -274,9 +274,11 @@ def plane_scan(seeds: jax.Array, wins: jax.Array, n_sym: jax.Array, ctx: jax.Arr
 # order): planes are PERMUTED into two alphabet groups so the five
 # per-plane fence compares batch into TWO same-shape compares per step -
 # group A = tok|len|dst (64+32+32 = 128 lanes, alphabets <= 64) compares
-# at a padded width of 64, group B = lit|lex (80 lanes, alphabet 256) at
-# 256. Grouping cut 3 dispatched kernels per step (measured; the step
-# loop is dispatch-bound, ~8us per op through this relay). start/freq
+# flat at a padded width of 64, group B = lit|lex (80 lanes, alphabet
+# 256) runs a TWO-LEVEL search (16 coarse fences -> one-hot MXU bucket
+# select -> 17-wide fine compare, see make_step). Grouping cut 3
+# dispatched kernels per step (measured; the step loop is
+# dispatch-bound, ~8us per op through this relay). start/freq
 # derive from the same compare by min/max over fences (largest fence
 # <= f, smallest fence > f) instead of masked delta sums. The per-lane
 # grouped fence tensors are chunk-static, built once per chunk in
@@ -292,6 +294,7 @@ _P1_ALPH = tuple(PLANES[_P1_PERM[q]].alphabets[0] for q in range(_NP))
 _P1_BOUNDS = tuple((b, b + l) for b, l in zip(_P1_BASE, _P1_L))
 _P1_NA = 3  # slots 0.._P1_NA-1 form group A (alph <= _P1_WA)
 _P1_WA = 64
+_P1_GB = 16  # group-B coarse buckets (alph 256 = _P1_GB * _P1_GB)
 _P1_A_END = _P1_BOUNDS[_P1_NA - 1][1]
 assert _P1_A_END == 128 and all(a <= _P1_WA for a in _P1_ALPH[:_P1_NA])
 
@@ -380,28 +383,53 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         )
 
     S14 = CDF_SCALE_TOTAL
+    GB, SB = _P1_GB, _P1_GB + 1  # group-B coarse buckets / fine row width
+    planeoff_B = jnp.asarray(
+        np.concatenate(
+            [np.full(_P1_L[q], (q - _P1_NA) * GB, np.int32)
+             for q in range(_P1_NA, _NP)]
+        )
+    )
 
-    def make_step(win3, fenA, fenB):
-        # fenA/fenB: grouped PER-LANE fence tensors (chunk-static, built
-        # once per chunk): [B, 128, 64] for tok|len|dst and [B, 80, 256]
-        # for lit|lex. Two same-shape compares replace five per-plane
-        # ones - the step loop is dispatch-bound, so kernels per step,
-        # not compare FLOPs, set its cost. start (largest fence <= f)
-        # and the symbol span end (smallest fence > f) come from min/max
-        # over the same compare; freq = end - start.
-        def group(fg, fen):
+    def make_step(win3, fenA, coarseB, fineB):
+        # Group A (tok|len|dst, alphabets <= 64): fenA [B, 128, 64]
+        # per-lane fences, one flat compare - at this width the flat form
+        # beats a two-level search (measured; the extra coarse/select
+        # kernels cost more than the 64-column compare saves).
+        # Group B (lit|lex, alphabet 256): flat would touch
+        # [B, 80, 256] x ~6 passes per step; instead a TWO-LEVEL search:
+        # compare against 16 per-lane coarse fences F[16c] (coarseB
+        # [B, 80, 16]), select the bucket's 17 fine fences F[16c..16c+16]
+        # with one one-hot MXU dot into the concatenated per-plane fine
+        # table (fineB [B, 2*16, 17]; lex rows offset by 16 via
+        # planeoff_B), then compare at width 17 - a ~9 us/step win on
+        # hardware (flat 52.8 -> 43.2 us, .build/prof_twolevel.py).
+        # start = largest fence <= f, end = smallest fence > f, both from
+        # min/max over the same compares; freq = end - start.
+        def group_flat(fg, fen):
             cmp = fg[:, :, None] >= fen  # [B, Lg, Wg]
             yg = jnp.sum(cmp.astype(_I32), axis=2)
             sg = jnp.max(jnp.where(cmp, fen, 0), axis=2)
             eg = jnp.min(jnp.where(cmp, S14, fen), axis=2)
             return yg, sg, eg
 
+        def group_two(fg):
+            cc = fg[:, :, None] >= coarseB  # [B, LgB, GB]
+            cstar = jnp.sum(cc.astype(_I32), axis=2)  # bucket, in [0, GB)
+            oh = jax.nn.one_hot(cstar + planeoff_B[None, :], 2 * GB, dtype=f32)
+            sel = jnp.einsum("blg,bgs->bls", oh, fineB, precision=PX).astype(_I32)
+            cf = fg[:, :, None] >= sel  # [B, LgB, SB]; sel[...,0] <= f always
+            yg = cstar * GB + jnp.sum(cf[:, :, 1:].astype(_I32), axis=2)
+            sg = jnp.max(jnp.where(cf, sel, 0), axis=2)
+            eg = jnp.min(jnp.where(cf, S14, sel), axis=2)
+            return yg, sg, eg
+
         def step_body(carry, active):
             x, rels = carry
 
             f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
-            yA, sA, eA = group(f[:, :_P1_A_END], fenA)
-            yB, sB, eB = group(f[:, _P1_A_END:], fenB)
+            yA, sA, eA = group_flat(f[:, :_P1_A_END], fenA)
+            yB, sB, eB = group_two(f[:, _P1_A_END:])
             y = jnp.concatenate([yA, yB], axis=1)
             start = jnp.concatenate([sA, sB], axis=1)
             freq = jnp.concatenate([eA - sA, eB - sB], axis=1)
@@ -422,8 +450,15 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         return step_body
 
     def grouped_fences(tables):
-        """Per-lane grouped fence tensors from the per-slot tables."""
-        partsA, partsB = [], []
+        """Per-lane grouped fence tensors from the per-slot tables.
+
+        fenA [B, 128, 64]: group-A per-lane fences 1..alph (padded with
+        S14). coarseB [B, LgB, GB]: group-B per-lane coarse fences
+        F[GB], F[2*GB], .., F[alph]. fineB [B, 2*GB, GB+1] f32: bucket
+        row g of plane (q - NA) holds F[GB*g .. GB*g + GB] (overlapping
+        rows, so a stack, not a reshape); f32 so the per-step one-hot
+        bucket select is a single MXU dot (fences <= 2^14 are exact)."""
+        partsA, partsC, partsF = [], [], []
         for q in range(_NP):
             t = tables[q][:, 0, 1:]  # [B, alph] fences 1..alph
             if q < _P1_NA:
@@ -433,8 +468,23 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
                 ) if _P1_ALPH[q] < _P1_WA else t
                 partsA.append(jnp.broadcast_to(t[:, None, :], (B, _P1_L[q], _P1_WA)))
             else:
-                partsB.append(jnp.broadcast_to(t[:, None, :], (B, _P1_L[q], 256)))
-        return jnp.concatenate(partsA, axis=1), jnp.concatenate(partsB, axis=1)
+                assert _P1_ALPH[q] == GB * GB
+                tf = tables[q][:, 0, :]  # [B, alph + 1] fences 0..alph
+                coarse = tf[:, GB::GB]  # [B, GB]
+                partsC.append(
+                    jnp.broadcast_to(coarse[:, None, :], (B, _P1_L[q], GB))
+                )
+                partsF.append(
+                    jnp.stack(
+                        [tf[:, g * GB : g * GB + GB + 1] for g in range(GB)],
+                        axis=1,
+                    ).astype(f32)
+                )
+        return (
+            jnp.concatenate(partsA, axis=1),
+            jnp.concatenate(partsC, axis=1),
+            jnp.concatenate(partsF, axis=1),
+        )
 
     def chunk_body(carry, xs):
         x, tables, carries = carry
@@ -442,11 +492,11 @@ def plane_scan_fused(seeds, wins, n_syms, steps: int, priors=None):
         win3 = win_c.reshape(B, WHc // 64, 64).astype(f32)
         # hoist the grouped per-lane fence tensors out of the step loop:
         # tables change only at chunk boundaries
-        fenA, fenB = grouped_fences(tables)
+        fenA, coarseB, fineB = grouped_fences(tables)
 
         rel0 = jnp.zeros((B, _NP), _I32)
         (x, _), ys = jax.lax.scan(
-            make_step(win3, fenA, fenB), (x, rel0), active_c
+            make_step(win3, fenA, coarseB, fineB), (x, rel0), active_c
         )
         # realized symbol counts once per chunk from the scan output
         # (identical sums to per-step accumulation, ~1/clen of the ops)
