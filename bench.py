@@ -331,28 +331,73 @@ def main() -> None:
     emit("tpu_v1_decode_throughput", n / v1_best / 1e6, "MB/s",
          (n / v1_best / 1e6) / 123.0)
 
-    # ---- NLZC (TPU PPM-class) decode: B=256 blocks on-chip ----
-    # Baseline: the reference PPMd var.I (order-6) measured on this
-    # machine via the shimmed research harness: decode 3.42 MB/s,
-    # ratio 0.337 on the 8 MB bench mix (BASELINE.md).
-    from nlzm_tpu.research import ppm_tpu
+    # ---- NLZC (TPU PPM-class) decode: research codec, NOT headline ----
+    # Demoted from the default run (VERDICT r3 weak #4): it loses to the
+    # reference PPMd var.I on both axes (r3: 1.4 vs 3.42 MB/s, ratio
+    # 0.566 vs 0.337 on this mix). Set NLZM_BENCH_NLZC=1 to measure it.
+    if os.environ.get("NLZM_BENCH_NLZC"):
+        from nlzm_tpu.research import ppm_tpu
 
-    nlzc_data = data[: 4 << 20]
-    nlzc_blob = ppm_tpu.compress(nlzc_data, block_size=16384)
-    words_c, seg_c, prior_c, steps_c, seg_np, tot_c, B_c = ppm_tpu.stage_container(
-        nlzc_blob)
-    # warmup + correctness
-    assert ppm_tpu.decompress(nlzc_blob) == nlzc_data, "NLZC decode mismatch"
+        nlzc_data = data[: 4 << 20]
+        nlzc_blob = ppm_tpu.compress(nlzc_data, block_size=16384)
+        words_c, seg_c, prior_c, steps_c, seg_np, tot_c, B_c = ppm_tpu.stage_container(
+            nlzc_blob)
+        # warmup + correctness
+        assert ppm_tpu.decompress(nlzc_blob) == nlzc_data, "NLZC decode mismatch"
 
-    def run_nlzc():
-        out = ppm_tpu._decode_blocks(words_c, seg_c, prior_c, steps_c)
-        float(np.asarray(jnp.sum(out.astype(jnp.int32))))
+        def run_nlzc():
+            out = ppm_tpu._decode_blocks(words_c, seg_c, prior_c, steps_c)
+            float(np.asarray(jnp.sum(out.astype(jnp.int32))))
 
-    nlzc_best = best_of(run_nlzc)
-    emit("tpu_nlzc_decode_throughput", len(nlzc_data) / nlzc_best / 1e6, "MB/s",
-         (len(nlzc_data) / nlzc_best / 1e6) / 3.42,
-         blocks=B_c, ratio=round(len(nlzc_blob) / len(nlzc_data), 4),
-         ppmd_ref_ratio=0.337)
+        nlzc_best = best_of(run_nlzc)
+        emit("tpu_nlzc_decode_throughput", len(nlzc_data) / nlzc_best / 1e6, "MB/s",
+             (len(nlzc_data) / nlzc_best / 1e6) / 3.42,
+             blocks=B_c, ratio=round(len(nlzc_blob) / len(nlzc_data), 4),
+             ppmd_ref_ratio=0.337)
+
+    # ---- frontier config: 128 KiB blocks + 64 KiB dict ----
+    # The best measured ratio/throughput point (VERDICT r3 #5): 4-6%
+    # better ratio than 32 KiB blocks on the 2-operand sort path at ~20%
+    # decode cost. Ratio anchor: oracle-w20 = 0.3687 on this corpus
+    # (tests/test_ratio_guard.py); target <= 1.25x. Guarded: a failure
+    # here must never take the primary metric line with it.
+    try:
+        fcont = encode_container(
+            data, block_size=131072, parser="optimal", profile="wide",
+            dict_size=65536,
+        )
+        finfo = parse_container(fcont)
+        fbuckets = prepare_wide_bucketed(
+            block_payloads(fcont, finfo), finfo.wide_priors, n_buckets=N_BUCKETS)
+        fdict = (jnp.asarray(np.frombuffer(finfo.dictionary, np.uint8))
+                 if finfo.dictionary else None)
+        for staged, idx in fbuckets:
+            staged["rounds_hint"] = rounds_hint_of(
+                max((finfo.total_reads[b] for b in idx), default=0))
+            staged["dict_arr"] = fdict
+
+        # warmup + correctness (untimed)
+        ffull = np.empty(len(finfo.comp_sizes) * finfo.block_size, np.uint8)
+        for staged, idx in fbuckets:
+            out_np = np.asarray(decode_wide_staged(staged, finfo.block_size)[0])
+            for row, b in enumerate(idx):
+                ffull[b * finfo.block_size : (b + 1) * finfo.block_size] = out_np[row]
+        assert ffull.tobytes()[: finfo.total_len] == data, "frontier decode mismatch"
+
+        def run_frontier():
+            acc = jnp.zeros((), jnp.int32)
+            for staged, _ in fbuckets:
+                out, produced = decode_wide_staged(staged, finfo.block_size)
+                acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+            float(np.asarray(acc))
+
+        f_best = best_of(run_frontier)
+        emit("tpu_wide_frontier_decode_throughput", n / f_best / 1e6, "MB/s",
+             (n / f_best / 1e6) / 123.0, block_kib=128, dict_kib=64,
+             ratio=round(len(fcont) / n, 4))
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"bench: frontier config failed: {e!r}", file=sys.stderr,
+              flush=True)
 
     # ---- primary metric last ----
     # e2e: the FULL pipeline per rep - container bytes -> host parse +

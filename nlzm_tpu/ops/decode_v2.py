@@ -387,12 +387,14 @@ def _step(data, data32, mixin, st: V2State, _):
     return new_st, (out_len, out_val)
 
 
-@partial(jax.jit, static_argnames=("num_steps",))
-def fsm_decode_v2(data: jax.Array, num_steps: int):
+@partial(jax.jit, static_argnames=("num_steps", "unroll"))
+def fsm_decode_v2(data: jax.Array, num_steps: int, unroll: int = 1):
     """Entropy-decode B block streams, one command per step.
 
     data: [B, S] uint8 frames (zero-padded; zero header terminates).
     num_steps: >= max commands per block (+1 for the terminator step).
+    unroll: scan unroll factor = commands decoded per while-loop trip
+    (the "2 commands per step" experiment; semantics-free).
 
     Returns (op_len [T, B], op_val [T, B]): op_len < 0 marks steps past a
     block's end, 0 marks a literal (op_val = byte), else a match of length
@@ -407,7 +409,8 @@ def fsm_decode_v2(data: jax.Array, num_steps: int):
     mixin = jnp.asarray(_mixin17())
     st = _init_state(B)
     st, ys = jax.lax.scan(
-        lambda s, x: _step(data, data32, mixin, s, x), st, None, length=num_steps
+        lambda s, x: _step(data, data32, mixin, s, x), st, None,
+        length=num_steps, unroll=unroll,
     )
     return ys
 
