@@ -389,12 +389,17 @@ extern "C" {
 // container - seconds of wall clock on its slow fault path). Payloads
 // land back-to-back in out; per-block sizes, depths and command counts
 // are reported. Returns 0, or 1 on out_cap overflow.
+// priors_in (optional, may be null): a serialized priors blob (u16be per
+// (plane, read, row, sym) - the container wire format) to encode AGAINST
+// instead of building one from this call's blocks. The streaming driver
+// uses it so every bucket of a multi-call encode shares bucket 0's blob
+// (the decoder applies ONE stored blob to all blocks).
 int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long block_size,
                            int hist_bits, int depth_cap, int with_priors, int threads,
                            unsigned char* out, long long out_cap, long long* out_sizes,
                            unsigned char* priors_out, int* out_depths, int* out_ncmds,
                            long long* progress_blocks, const unsigned char* dict,
-                           long long dlen) {
+                           long long dlen, const unsigned char* priors_in) {
   using namespace nlzm_wide;
   if (threads < 1) threads = 1;
   long long B = (n + block_size - 1) / block_size;
@@ -469,7 +474,19 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
   }
 
   Priors pri;
-  if (with_priors) {
+  if (priors_in) {
+    pri.enabled = true;
+    size_t po = 0;
+    for (int pi = 0; pi < kNPlanes; pi++)
+      for (int r = 0; r < kPlanes[pi].reads; r++) {
+        int cells = kPlanes[pi].rows[r] * kPlanes[pi].alph[r];
+        pri.data[pi][r].resize((size_t)cells);
+        for (int k = 0; k < cells; k++) {
+          pri.data[pi][r][k] = ((i64)priors_in[po] << 8) | priors_in[po + 1];
+          po += 2;
+        }
+      }
+  } else if (with_priors) {
     pri.enabled = true;
     std::vector<i64> hist[kNPlanes][2];
     for (int pi = 0; pi < kNPlanes; pi++)

@@ -92,7 +92,7 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_wide_encode_data.argtypes = [
         c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, c_u8p, c_i64, c_i64p, c_u8p, c_i32p, c_i32p, c_i64p,
-        c_u8p, c_i64,
+        c_u8p, c_i64, c_u8p,
     ]
 
     lib.nlzmx_encode_blocks.restype = ctypes.c_int
@@ -410,11 +410,16 @@ def lift_split(
 def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
                          depth_cap: int = 16, with_priors: bool = True,
                          threads: int = 0, progress=None,
-                         dictionary: bytes | None = None):
+                         dictionary: bytes | None = None,
+                         priors_in: bytes | None = None):
     """Full native wide-profile encode: parse -> lift(-split) ->
     rep-classify -> plane encode, one library call with per-thread
     scratch (staged [B, T] op arrays cost ~64 MB of first-touch page
     faults on this container - seconds of wall clock).
+
+    priors_in: encode against this serialized priors blob instead of
+    building one from these blocks (the streaming driver shares bucket
+    0's blob across every bucket; the returned blob echoes priors_in).
 
     Returns (payloads, priors_blob, depths, ncmds)."""
     from .format.wide import priors_blob_size
@@ -452,6 +457,11 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
         poller = threading.Thread(target=_poll, daemon=True)
         poller.start()
     darr = np.frombuffer(dictionary, dtype=np.uint8) if dictionary else None
+    parr = None
+    if priors_in is not None:
+        if len(priors_in) != priors_blob_size():
+            raise ValueError("priors_in blob has the wrong size")
+        parr = np.frombuffer(priors_in, dtype=np.uint8)
     try:
         while True:
             rc = lib.nlzmx_wide_encode_data(
@@ -462,6 +472,7 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
                 counter.ctypes.data_as(i64p),
                 _u8p(darr) if darr is not None else None,
                 len(darr) if darr is not None else 0,
+                _u8p(parr) if parr is not None else None,
             )
             if rc != 1:
                 break
@@ -479,7 +490,9 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
     for b in range(nblocks):
         payloads.append(out[off : off + int(sizes[b])].tobytes())
         off += int(sizes[b])
-    return payloads, (priors.tobytes() if with_priors else b""), depths, [int(c) for c in ncmds]
+    blob = priors_in if priors_in is not None else (
+        priors.tobytes() if with_priors else b"")
+    return payloads, blob, depths, [int(c) for c in ncmds]
 
 
 def wide_encode(op_len: np.ndarray, op_val: np.ndarray, op_rep: np.ndarray,
