@@ -13,6 +13,12 @@ Differences from the v1 FSM kernel (decode_ops.py):
   directly with no compaction.
 - The two distance extra-bit fields are read as one combined bit fetch
   (identical bit layout; valid while add_bits <= 24, i.e. window < 2^27).
+- **Block-minor layout** (round 5): every model tensor keeps the block
+  axis LAST ([..., 17, B] instead of [B, ..., 17]), so the 128-lane VPU
+  vregs run across blocks instead of across the 17 CDF fences. With
+  B ~ 245 blocks the old layout used 17 of 128 lanes per vreg on every
+  family op (~5x vreg waste - BASELINE.md round-4 analysis); this
+  transpose is the measured fix for the per-command compute bound.
 
 Semantics parity: NLZM.cpp:1967-2012 (command loop), 666-731 (frame reads).
 """
@@ -32,15 +38,15 @@ _I32 = jnp.int32
 
 
 class V2State(NamedTuple):
-    cmd_c: jax.Array  # [B, 17]
-    lith_c: jax.Array  # [B, 17]
-    litl_c: jax.Array  # [B, 16, 17]
-    lend_c: jax.Array  # [B, 17]
-    lehi_c: jax.Array  # [B, 17]
-    lelo_c: jax.Array  # [B, 16, 17]
-    dhi_c: jax.Array  # [B, 4, 17]
-    dlo_c: jax.Array  # [B, 32, 17]
-    rans: jax.Array  # [B, 4] u32
+    cmd_c: jax.Array  # [17, B]
+    lith_c: jax.Array  # [17, B]
+    litl_c: jax.Array  # [16, 17, B]
+    lend_c: jax.Array  # [17, B]
+    lehi_c: jax.Array  # [17, B]
+    lelo_c: jax.Array  # [16, 17, B]
+    dhi_c: jax.Array  # [4, 17, B]
+    dlo_c: jax.Array  # [32, 17, B]
+    rans: jax.Array  # [4, B] u32
     lane: jax.Array  # [B]
     rans_pos: jax.Array  # [B]
     bit_pos: jax.Array  # [B]
@@ -49,7 +55,7 @@ class V2State(NamedTuple):
     num_ops: jax.Array  # [B]
     frame_ptr: jax.Array  # [B]
     done: jax.Array  # [B] bool
-    rep_tab: jax.Array  # [B, 4]
+    rep_tab: jax.Array  # [4, B]
 
 
 def _uniform_cells(n: int) -> np.ndarray:
@@ -63,8 +69,8 @@ def _init_state(B: int) -> V2State:
     z = jnp.zeros((B,), _I32)
 
     def fam(n, *shape):
-        cells = jnp.asarray(_uniform_cells(n))
-        return jnp.broadcast_to(cells, (B, *shape, 17)).astype(_I32)
+        cells = jnp.asarray(_uniform_cells(n))[:, None]  # [17, 1]
+        return jnp.broadcast_to(cells, (*shape, 17, B)).astype(_I32)
 
     return V2State(
         cmd_c=fam(4),
@@ -75,7 +81,7 @@ def _init_state(B: int) -> V2State:
         lelo_c=fam(16, 16),
         dhi_c=fam(8, 4),
         dlo_c=fam(8, 32),
-        rans=jnp.zeros((B, 4), _U32),
+        rans=jnp.zeros((4, B), _U32),
         lane=z,
         rans_pos=z,
         bit_pos=z,
@@ -84,7 +90,7 @@ def _init_state(B: int) -> V2State:
         num_ops=z,
         frame_ptr=z,
         done=jnp.zeros((B,), bool),
-        rep_tab=jnp.broadcast_to(jnp.arange(1, 5, dtype=_I32), (B, 4)),
+        rep_tab=jnp.broadcast_to(jnp.arange(1, 5, dtype=_I32)[:, None], (4, B)),
     )
 
 
@@ -98,57 +104,90 @@ def _byte2(data, pos):
     return (_byte(data, pos) << 8) | _byte(data, pos + 1)
 
 
-# mixin rows for classes 4/8/16, padded to 17 wide (pads pinned at scale)
+# mixin rows for classes 4/8/16, transposed to [3, 17, 16] so adaptation
+# targets come out block-minor ([17, B])
 def _mixin17() -> np.ndarray:
     m = mixin_tensor()  # [3, 16, 17]
-    return m
+    return np.ascontiguousarray(m.transpose(0, 2, 1))  # [3, 17, 16]
 
 
 def _win_load(data32, pos, words: int):
     """Contiguous byte window starting at the u32 word containing `pos`:
-    returns (win [B, words] u32-le, base byte offset [B])."""
+    returns (win [words, B] u32-le, base byte offset [B])."""
     base = pos >> 2
     cols = [
         jnp.take_along_axis(data32, jnp.clip(base + k, 0, data32.shape[1] - 1)[:, None], axis=1)[:, 0]
         for k in range(words)
     ]
-    return jnp.stack(cols, axis=1), base << 2
+    return jnp.stack(cols, axis=0), base << 2
+
+
+def _win_load2(data32, rans_pos, bit_pos):
+    """Both per-step windows (4 renorm words + 3 bit words) in ONE gather.
+
+    The step body is gather-call-bound on this chip (7 separate [B]
+    take_along_axis calls were ~the whole 31 us/step); a single [B, 7]
+    gather fetches the same words in one op."""
+    rbase = rans_pos >> 2
+    bbase = bit_pos >> 2
+    idx = jnp.stack(
+        [rbase, rbase + 1, rbase + 2, rbase + 3, bbase, bbase + 1, bbase + 2],
+        axis=1,
+    )  # [B, 7]
+    w = jnp.take_along_axis(data32, jnp.clip(idx, 0, data32.shape[1] - 1), axis=1)
+    rwin = w[:, :4].T  # [4, B]
+    bwin = w[:, 4:].T  # [3, B]
+    return rwin, rbase << 2, bwin, bbase << 2
 
 
 def _win_byte(win, base, off):
-    """Extract byte at absolute offset `off` from a window (dense math)."""
+    """Extract byte at absolute offset `off` from a window.
+
+    Pure elementwise select tree - NO one-hot + reduce. The reduce
+    variant was 65% of the whole decode step on hardware (534 -> 189
+    ms/8MB without it): each of the ~15 calls per step lowered to its
+    own reduction kernel instead of fusing into the step's elementwise
+    body."""
     j = off - base
-    word_sel = jax.nn.one_hot(jnp.clip(j >> 2, 0, win.shape[1] - 1), win.shape[1], dtype=_I32)
-    w = jnp.sum(word_sel * win.astype(_I32), axis=1).astype(_U32)
+    k = jnp.clip(j >> 2, 0, win.shape[0] - 1)
+    if win.shape[0] == 1:
+        w = win[0]
+    elif win.shape[0] == 2:
+        w = jnp.where(k >= 1, win[1], win[0])
+    else:
+        hi = win[3] if win.shape[0] > 3 else win[2]
+        a = jnp.where((k & 1) != 0, win[1], win[0])
+        c = jnp.where((k & 1) != 0, hi, win[2])
+        w = jnp.where((k & 2) != 0, c, a)
     sh = ((j & 3) << 3).astype(_U32)
-    return ((w >> sh) & jnp.asarray(0xFF, _U32)).astype(_I32)
+    return ((w.astype(_U32) >> sh) & jnp.asarray(0xFF, _U32)).astype(_I32)
 
 
 class _Rans(NamedTuple):
-    rans: jax.Array
-    lane: jax.Array
-    rans_pos: jax.Array
-    reads: jax.Array  # cumulative read count this step
-    win: jax.Array  # [B, 4] u32 window covering this step's renorm bytes
+    rans: jax.Array  # [4, B]
+    lane: jax.Array  # [B]
+    rans_pos: jax.Array  # [B]
+    reads: jax.Array  # cumulative read count this step [B]
+    win: jax.Array  # [4, B] u32 window covering this step's renorm bytes
     win_base: jax.Array  # [B] byte offset of win[0]
 
 
 def _cdf_read(row, pred, r: _Rans, data, mix_fn):
-    """Predicated symbol read against per-block fence rows [B, 17].
+    """Predicated symbol read against per-block fence rows [17, B].
 
-    mix_fn(y) -> [B, 17] adaptation target rows for the decoded symbols.
-    Returns (y [B], updated_row [B,17], new rans bundle). Blocks with
+    mix_fn(y) -> [17, B] adaptation target rows for the decoded symbols.
+    Returns (y [B], updated_row [17, B], new rans bundle). Blocks with
     pred=False keep their state and get y=0 semantics-free.
     """
-    lane_oh = jax.nn.one_hot(r.lane, 4, dtype=_I32)
-    x = jnp.sum(lane_oh * r.rans.astype(_I32), axis=1).astype(_U32)
+    lane_oh = jax.nn.one_hot(r.lane, 4, dtype=_I32, axis=0)  # [4, B]
+    x = jnp.sum(lane_oh * r.rans.astype(_I32), axis=0).astype(_U32)
 
     f = (x & jnp.asarray(0x3FFF, _U32)).astype(_I32)
-    y = jnp.sum(f[:, None] >= row[:, 1:], axis=1).astype(_I32)
-    y_oh = jax.nn.one_hot(y, 17, dtype=_I32)
-    y1_oh = jax.nn.one_hot(y + 1, 17, dtype=_I32)
-    start = jnp.sum(y_oh * row, axis=1)
-    freq = jnp.sum(y1_oh * row, axis=1) - start
+    y = jnp.sum((f[None, :] >= row[1:]).astype(_I32), axis=0)
+    y_oh = jax.nn.one_hot(y, 17, dtype=_I32, axis=0)  # [17, B]
+    y1_oh = jax.nn.one_hot(y + 1, 17, dtype=_I32, axis=0)
+    start = jnp.sum(y_oh * row, axis=0)
+    freq = jnp.sum(y1_oh * row, axis=0) - start
 
     x2 = freq.astype(_U32) * (x >> 14) + (f - start).astype(_U32)
     renorm = x2 < jnp.asarray(1 << 16, _U32)
@@ -158,13 +197,13 @@ def _cdf_read(row, pred, r: _Rans, data, mix_fn):
 
     take = pred
     new_rans = jnp.where(
-        (take[:, None]) & (lane_oh > 0), x3[:, None], r.rans.astype(_U32)
+        (take[None, :]) & (lane_oh > 0), x3[None, :], r.rans.astype(_U32)
     ).astype(_U32)
     rans_pos = r.rans_pos + jnp.where(take & renorm, 2, 0)
     lane = jnp.where(take, (r.lane + 1) & 3, r.lane)
 
     # adaptation toward the mixin row for this (class, symbol)
-    mix = mix_fn(jnp.clip(y, 0, 15))  # [B, 17]
+    mix = mix_fn(jnp.clip(y, 0, 15))  # [17, B]
     upd = row + ((mix - row) >> 7)
 
     return y, upd, _Rans(
@@ -176,7 +215,7 @@ class _Bits(NamedTuple):
     word: jax.Array
     word_bits: jax.Array
     bit_pos: jax.Array
-    win: jax.Array  # [B, 3] u32 window covering this step's bit bytes
+    win: jax.Array  # [3, B] u32 window covering this step's bit bytes
     win_base: jax.Array
 
 
@@ -202,14 +241,14 @@ def _bits_read(nb, pred, b: _Bits):
 
 
 def _family_update(fam, idx, upd_row, orig_row, pred, k):
-    """fam[b, idx[b]] <- upd_row[b] where pred, via one-hot FMA."""
-    oh = jax.nn.one_hot(idx, k, dtype=_I32) * pred.astype(_I32)[:, None]
-    return fam + oh[:, :, None] * (upd_row - orig_row)[:, None, :]
+    """fam[idx[b], :, b] <- upd_row[:, b] where pred, via one-hot FMA."""
+    oh = jax.nn.one_hot(idx, k, dtype=_I32, axis=0) * pred.astype(_I32)[None, :]
+    return fam + oh[:, None, :] * (upd_row - orig_row)[None, :, :]
 
 
 def _row_of(fam, idx, k):
-    oh = jax.nn.one_hot(idx, k, dtype=fam.dtype)
-    return jnp.einsum("bk,bkw->bw", oh, fam)
+    oh = jax.nn.one_hot(idx, k, dtype=fam.dtype, axis=0)  # [k, B]
+    return jnp.einsum("kb,kwb->wb", oh, fam)
 
 
 def _frame_init(st: V2State, data):
@@ -240,14 +279,14 @@ def _frame_init(st: V2State, data):
                 | (_byte(data, pos + 3).astype(_U32) << 24)
             )
 
-        new_states = jnp.stack([le32(rans_base + 4 * k) for k in range(4)], axis=1)
+        new_states = jnp.stack([le32(rans_base + 4 * k) for k in range(4)], axis=0)
         return (
             st.done | becomes_done,
             jnp.where(init, hdr_ops, st.num_ops),
             jnp.where(init, st.frame_ptr + 12, st.bit_pos),
             jnp.where(init, jnp.zeros((), _U32), st.word),
             jnp.where(init, 0, st.word_bits),
-            jnp.where(init[:, None], new_states, st.rans),
+            jnp.where(init[None, :], new_states, st.rans),
             jnp.where(init, 0, st.lane),
             jnp.where(init, rans_base + 16, st.rans_pos),
             jnp.where(init, st.frame_ptr + nb_bytes + nr_bytes, st.frame_ptr),
@@ -275,19 +314,24 @@ def _step(data, data32, mixin, st: V2State, _):
     )
     active = ~done
 
-    rwin, rbase = _win_load(data32, rans_pos, 4)  # covers <= 12 renorm bytes
-    bwin, bbase = _win_load(data32, bit_pos, 3)  # covers <= 6 bit bytes
+    # one fused gather covers <= 12 renorm bytes + <= 6 bit bytes
+    rwin, rbase, bwin, bbase = _win_load2(data32, rans_pos, bit_pos)
     r = _Rans(rans, lane, rans_pos, jnp.zeros_like(lane), rwin, rbase)
     b = _Bits(word, word_bits, bit_pos, bwin, bbase)
 
-    mix4, mix8, mix16 = mixin[0], mixin[1], mixin[2]
-    f4 = lambda y: mix4[jnp.clip(y, 0, 3)]
-    f8 = lambda y: mix8[jnp.clip(y, 0, 7)]
-    f16 = lambda y: mix16[y]
+    mix4, mix8, mix16 = mixin[0], mixin[1], mixin[2]  # each [17, 16]
+
+    def pick(tbl, y, k):
+        oh = jax.nn.one_hot(jnp.clip(y, 0, k - 1), 16, dtype=_I32, axis=0)  # [16, B]
+        return jnp.einsum("wk,kb->wb", tbl, oh)
+
+    f4 = lambda y: pick(mix4, y, 4)
+    f8 = lambda y: pick(mix8, y, 8)
+    f16 = lambda y: pick(mix16, y, 16)
 
     # R0: command
     y0, upd, r = _cdf_read(st.cmd_c, active, r, data, f4)
-    cmd_c = jnp.where(active[:, None], upd, st.cmd_c)
+    cmd_c = jnp.where(active[None, :], upd, st.cmd_c)
     is_lit = active & (y0 == 0)
     is_dict = active & (y0 == 1)
     is_rep = active & (y0 >= 2)
@@ -298,21 +342,21 @@ def _step(data, data32, mixin, st: V2State, _):
     bits_reads = is_rep.astype(_I32)
 
     # R1: literal hi nibble | direct length (mixed 16/8-symbol classes)
-    row1 = jnp.where(is_lit[:, None], st.lith_c, st.lend_c)
-    fmix1 = lambda y: jnp.where(is_lit[:, None], mix16[y], mix8[jnp.clip(y, 0, 7)])
+    row1 = jnp.where(is_lit[None, :], st.lith_c, st.lend_c)
+    fmix1 = lambda y: jnp.where(is_lit[None, :], pick(mix16, y, 16), pick(mix8, y, 8))
     y1, upd1, r = _cdf_read(row1, active, r, data, fmix1)
-    lith_c = jnp.where(is_lit[:, None], upd1, st.lith_c)
-    lend_c = jnp.where(is_match[:, None], upd1, st.lend_c)
+    lith_c = jnp.where(is_lit[None, :], upd1, st.lith_c)
+    lend_c = jnp.where(is_match[None, :], upd1, st.lend_c)
     esc = is_match & (y1 == 7)
     lc = jnp.minimum(y1, 3)
 
     # R2: literal lo nibble | length-extension hi
     pred2 = is_lit | esc
     litl_row = _row_of(st.litl_c, jnp.where(is_lit, y1, 0), 16)
-    row2 = jnp.where(is_lit[:, None], litl_row, st.lehi_c)
+    row2 = jnp.where(is_lit[None, :], litl_row, st.lehi_c)
     y2, upd2, r = _cdf_read(row2, pred2, r, data, f16)
     litl_c = _family_update(st.litl_c, y1, upd2, litl_row, is_lit, 16)
-    lehi_c = jnp.where(esc[:, None], upd2, st.lehi_c)
+    lehi_c = jnp.where(esc[None, :], upd2, st.lehi_c)
 
     # R3: length-extension lo
     lelo_row = _row_of(st.lelo_c, jnp.where(esc, y2, 0), 16)
@@ -343,8 +387,8 @@ def _step(data, data32, mixin, st: V2State, _):
 
     # emit
     delta_dict = dv + 1
-    rep_oh = jax.nn.one_hot(jnp.clip(rep_idx, 0, 3), 4, dtype=_I32)
-    delta_rep = jnp.sum(rep_oh * st.rep_tab, axis=1)
+    rep_oh = jax.nn.one_hot(jnp.clip(rep_idx, 0, 3), 4, dtype=_I32, axis=0)  # [4, B]
+    delta_rep = jnp.sum(rep_oh * st.rep_tab, axis=0)
     delta = jnp.where(is_rep, delta_rep, delta_dict)
     mmin = (
         2
@@ -357,10 +401,10 @@ def _step(data, data32, mixin, st: V2State, _):
     out_len = jnp.where(active, out_len, -1)  # -1 marks "no command" (done)
 
     # rep MTF insert for fresh dict distances
-    t = st.rep_tab
-    present = jnp.any(t == delta_dict[:, None], axis=1)
-    shifted = jnp.concatenate([delta_dict[:, None], t[:, :3]], axis=1)
-    rep_tab = jnp.where((is_dict & ~present)[:, None], shifted, t)
+    t = st.rep_tab  # [4, B]
+    present = jnp.any(t == delta_dict[None, :], axis=0)
+    shifted = jnp.concatenate([delta_dict[None, :], t[:3]], axis=0)
+    rep_tab = jnp.where((is_dict & ~present)[None, :], shifted, t)
 
     num_ops = num_ops - r.reads - bits_reads
 

@@ -38,7 +38,7 @@ import numpy as np
 
 from ..constants import CDF_SCALE_TOTAL, HASH4_MULT
 from .cdf_ops import mixin_tensor
-from .decode_v2 import _init_state, _uniform_cells  # family layout reuse
+from .decode_v2 import _uniform_cells  # family cell layout reuse
 
 _U32 = jnp.uint32
 _I32 = jnp.int32

@@ -331,6 +331,50 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def stage_v1_buckets(data: bytes, info: ContainerInfo, n_buckets: int = 2):
+    """Quantile-bucket v1 blocks by command count before the FSM scan.
+
+    The scan's step count is static per batch, sized by the WORST block
+    (16.9k commands vs ~4.4k median on the bench mix), and the scan body
+    is stream-gather-bound per (block, step) - so one command-dense
+    block makes every block pay its padding. Quantile buckets cut total
+    block-steps ~2x on that mix. Returns [(streams [Bk, Sk] jnp.uint8,
+    num_steps, block_idx_list), ...].
+    """
+    import jax.numpy as jnp
+
+    B = len(info.comp_sizes)
+    if B <= n_buckets * 8:
+        n_buckets = 1
+    offs = np.zeros(B + 1, np.int64)
+    np.cumsum(info.comp_sizes, out=offs[1:])
+    offs += info.payload_off
+    order = sorted(range(B), key=lambda b: info.num_cmds[b])
+    out = []
+    for k in range(n_buckets):
+        idx = order[k * B // n_buckets : (k + 1) * B // n_buckets]
+        if not idx:
+            continue
+        s = _round_up(max(info.comp_sizes[b] for b in idx) + 24, 256)
+        arr = np.zeros((len(idx), s), np.uint8)
+        for row, b in enumerate(idx):
+            cs = info.comp_sizes[b]
+            arr[row, :cs] = np.frombuffer(data, np.uint8, cs, offs[b])
+        num_steps = _round_up(max(info.num_cmds[b] for b in idx) + 1, 256)
+        out.append((jnp.asarray(arr), num_steps, idx))
+    return out
+
+
+def decode_v1_staged(streams, num_steps: int, block_size: int):
+    """FSM decode + LZ expansion of one staged v1 bucket -> [Bk, N] u8."""
+    from ..ops.decode_v2 import fsm_decode_v2
+    from ..ops.expand_ops import lz_expand_parallel
+
+    op_len, op_val = fsm_decode_v2(streams, num_steps)
+    out, produced = lz_expand_parallel(op_len, op_val, block_size)
+    return out, produced
+
+
 def pack_streams(data: bytes, info: ContainerInfo) -> np.ndarray:
     """[B, S] uint8: per-block payloads, zero padded (terminator + window slack)."""
     n = len(info.comp_sizes)
@@ -449,17 +493,12 @@ def decode_container(data: bytes, engine: str = "tpu") -> bytes:
             off += cs
         return _verified(bytes(out), info)
 
-    import jax.numpy as jnp
-
-    from ..ops.decode_v2 import fsm_decode_v2
-    from ..ops.expand_ops import lz_expand_parallel
-
-    streams = pack_streams(data, info)
-    # +1 step: every block spends one scan step on its terminator header
-    num_steps = _round_up(max(info.num_cmds) + 1, 256)
-
-    op_len, op_val = fsm_decode_v2(jnp.asarray(streams), num_steps)
-    out, produced = lz_expand_parallel(op_len, op_val, info.block_size)
-    out_np = np.asarray(out).reshape(-1)
-    full = out_np[: len(info.comp_sizes) * info.block_size]
+    # +1 step per bucket: every block spends one scan step on its
+    # terminator header
+    full = np.empty(len(info.comp_sizes) * info.block_size, np.uint8)
+    for streams, num_steps, idx in stage_v1_buckets(data, info):
+        out, _produced = decode_v1_staged(streams, num_steps, info.block_size)
+        out_np = np.asarray(out)
+        for row, b in enumerate(idx):
+            full[b * info.block_size : (b + 1) * info.block_size] = out_np[row]
     return _verified(full.tobytes()[: info.total_len], info)
