@@ -16,7 +16,13 @@ Flags:
     -profile:name   block profile: v1 (NLZM-compatible frames, default)
                     | wide (lane-parallel TPU-first planes)
     -engine:name    engine: auto | serial | native | tpu
+    -dict:size      wide profile: shared-dictionary bytes sampled from the
+                    input (0 = off)
     -v              verbose: memory budget + per-stage timing report
+
+Both the single-stream format and the NLZP container stream through
+bounded buffers: container files encode/decode bucket-at-a-time
+(parallel/stream.py), so RSS stays O(window + bucket) at any file size.
 """
 
 import sys
@@ -44,6 +50,7 @@ def main(argv=None) -> int:
     block_size = 0  # 0 => single-stream NLZM format
     profile = "v1"
     engine = "auto"
+    dict_size = 0
     verbose = False
 
     # flags are accepted anywhere in argv (before or after the command)
@@ -68,6 +75,8 @@ def main(argv=None) -> int:
             profile = arg[8:]
         elif arg.startswith("engine:"):
             engine = arg[7:]
+        elif arg.startswith("dict:"):
+            dict_size = int(arg[5:])
         else:
             return _fail(f"unrecognized flag {arg}")
 
@@ -128,13 +137,25 @@ def main(argv=None) -> int:
                 from .codec import encode_file
 
                 r = encode_file(src, dst, window_bits, parser=parser, progress=prog)
+            elif block_size and (
+                profile != "wide"
+                or (native.available() and parser == "optimal" and engine != "tpu")
+            ):
+                # bucket-at-a-time container streaming: O(window + bucket)
+                # RSS at any file size (parallel/stream.py)
+                from .parallel.stream import encode_container_stream
+
+                r = encode_container_stream(
+                    src, dst, block_size, parser=parser, engine=engine,
+                    profile=profile, dict_size=dict_size, progress=prog,
+                )
             elif block_size:
                 data = open(src, "rb").read()
                 from .parallel.blocks import encode_container
 
                 out = encode_container(
                     data, block_size=block_size, parser=parser, engine=engine,
-                    profile=profile, progress=prog,
+                    profile=profile, dict_size=dict_size, progress=prog,
                 )
                 open(dst, "wb").write(out)
                 r = {"in": len(data), "out": len(out), "crc32": crc32(data)}
@@ -181,6 +202,17 @@ def main(argv=None) -> int:
 
             prog = ProgressLine(flen)
             r = decode_file(src, dst, progress=prog)
+            prog.finish()
+            n_in, n_out, crc = r["in"], r["out"], r["crc32"]
+        elif magic[:4] == MAGIC and engine in ("auto", "tpu", "native"):
+            # NLZP container: bucket-at-a-time streaming decode
+            from .parallel.stream import decode_container_stream
+
+            prog = ProgressLine(flen)
+            r = decode_container_stream(
+                src, dst, engine=("tpu" if engine == "auto" else engine),
+                progress=prog,
+            )
             prog.finish()
             n_in, n_out, crc = r["in"], r["out"], r["crc32"]
         else:
