@@ -1,9 +1,14 @@
 """Benchmark: block-parallel TPU decode throughput vs the reference baseline.
 
-Prints one JSON line per metric; the LAST line is the primary metric
-(wide-profile device decode). Extra keys on that line carry the per-stage
-breakdown (scans / assembly / expansion) and the end-to-end container
-rate including host staging.
+Prints one JSON line per metric; the primary metric (wide-profile device
+decode, with per-stage breakdown + e2e keys) is emitted FIRST and then
+RE-EMITTED after every optional section so the driver's last-line parse
+always lands on it, even if a later section is cut short. Optional
+sections (device encode, v1 profile, frontier config) each have a
+wall-clock budget and are skipped with a stderr note when the run is
+over budget - a flaky relay or a cold compile cache must never take the
+primary capture with it (round-4 lesson: BENCH_r04 rc=124 lost the
+headline line).
 
 Measures the wide-profile device decode pipeline (lane-parallel plane
 scans + scan-free assembly + sort-based LZ expansion) on real hardware
@@ -33,6 +38,10 @@ BLOCK_SIZE = int(os.environ.get("NLZM_BENCH_BLOCK", str(32768)))
 CORPUS_MB = int(os.environ.get("NLZM_BENCH_MB", "8"))
 DICT_SIZE = int(os.environ.get("NLZM_BENCH_DICT", str(32768)))
 REPS = int(os.environ.get("NLZM_BENCH_REPS", "5"))
+# Whole-run wall budget; optional sections are skipped once exceeded.
+BUDGET_S = float(os.environ.get("NLZM_BENCH_BUDGET", "1500"))
+
+_T0 = time.time()
 
 
 def build_corpus(n: int) -> bytes:
@@ -92,13 +101,23 @@ def best_of(fn, reps=REPS):
     return min(times)
 
 
-def _wait_for_chip(attempts: int = 8, probe_timeout: int = 120, sleep_s: int = 60) -> None:
+def over_budget(section: str, est_s: float) -> bool:
+    """True (and logs) when `section` would not fit the remaining budget."""
+    left = BUDGET_S - (time.time() - _T0)
+    if left < est_s:
+        print(f"bench: skipping {section}: {left:.0f}s left < ~{est_s:.0f}s "
+              f"estimated (budget {BUDGET_S:.0f}s)", file=sys.stderr, flush=True)
+        return True
+    return False
+
+
+def _wait_for_chip(attempts: int = 4, probe_timeout: int = 30) -> None:
     """Block until the tunneled TPU answers a trivial dispatch.
 
     The relay can be down (backend init raises) or half-open (dispatch
     hangs forever); both would take the whole bench run with them, so
-    the probe runs in a SUBPROCESS with a hard timeout and retries for
-    a few minutes before giving up loudly."""
+    the probe runs in a SUBPROCESS with a hard timeout and retries with
+    backoff. Worst case ~3 min, not the 16 min of the round-4 config."""
     import subprocess
 
     probe = (
@@ -121,7 +140,7 @@ def _wait_for_chip(attempts: int = 8, probe_timeout: int = 120, sleep_s: int = 6
         print(f"bench: chip probe {i + 1}/{attempts} failed: {err}",
               file=sys.stderr, flush=True)
         if i + 1 < attempts:
-            time.sleep(sleep_s)
+            time.sleep(10 * (i + 1))
     raise RuntimeError("TPU unreachable after retries; not benching")
 
 
@@ -139,94 +158,10 @@ def main() -> None:
 
     data = build_corpus(CORPUS_MB * 1_000_000)
     n = len(data)
-
-    # ---- encode metric: native single-core pipeline, measured fresh ----
-    t0 = time.time()
-    container = encode_container(
-        data, block_size=BLOCK_SIZE, parser="optimal", profile="wide",
-        dict_size=DICT_SIZE,
-    )
-    enc_secs = time.time() - t0
-    emit("host_wide_encode_throughput", n / enc_secs / 1e6, "MB/s",
-         (n / enc_secs / 1e6) / 1.8)
-
-    # ---- device wide plane encode (ops/wide_encode_dev.py) ----
-    # Times the on-chip stage (chunk-table simulation + backward rANS)
-    # with inputs pre-staged in HBM and completion forced by a checksum
-    # fetch - same convention as the decode metric below. Byte-parity of
-    # the full device payloads vs the host encoder is asserted untimed
-    # on a 1 MiB slice (the relay's 12 MB/s D2H would otherwise dominate
-    # an end-to-end pull; tests/test_wide.py holds the full four-way
-    # differential).
-    from nlzm_tpu import native as _native
-
-    if _native.available():
-        from nlzm_tpu.format import wide as _wide
-        from nlzm_tpu.ops.wide_encode_dev import (
-            encode_wide_blocks_tpu, plane_encode)
-
-        t_parse0 = time.time()
-        op_len, op_val = _native.parse_blocks(data, BLOCK_SIZE, 15)
-        op_len = np.ascontiguousarray(op_len, np.int32)
-        op_val = np.ascontiguousarray(op_val, np.int32)
-        _native.lift_deep(op_len, op_val, BLOCK_SIZE)
-        op_rep = _native.classify_reps(op_len, op_val)
-        enc_parse = time.time() - t_parse0
-        t0 = time.time()
-        _pb, batched, _pc = _wide.batch_plane_arrays(op_len, op_val, op_rep)
-        priors = _wide.build_priors_from_batched(batched)
-        staged_enc = []
-        for i, spec in enumerate(_wide.PLANES):
-            syms_p, rows_p, counts, _ = batched[spec.name]
-            steps = syms_p[0].shape[1] // spec.lanes
-            prior = tuple(
-                jnp.asarray(np.asarray(priors[spec.name][r], np.int32))
-                for r in range(spec.reads))
-            staged_enc.append((
-                tuple(jnp.asarray(s, jnp.int32) for s in syms_p),
-                tuple(
-                    None if spec.rows[r] == 1
-                    else jnp.asarray(rows_p[r], jnp.int32)
-                    for r in range(spec.reads)
-                ),
-                jnp.asarray(counts, jnp.int32), i, steps, prior))
-        enc_staging = time.time() - t0
-
-        def run_enc():
-            acc = jnp.zeros((), jnp.uint32)
-            for syms, rows, nsym, i, steps, prior in staged_enc:
-                seeds, pa, ma = plane_encode(syms, rows, nsym, i, steps, prior)
-                acc = (acc + jnp.sum(seeds)
-                       + jnp.sum((pa * ma).astype(jnp.uint32)))
-            float(np.asarray(acc).astype(np.float64))
-
-        run_enc()  # compile
-        small = data[: 1 << 20]
-        ol2, ov2 = _native.parse_blocks(small, BLOCK_SIZE, 15)
-        ol2 = np.ascontiguousarray(ol2, np.int32)
-        ov2 = np.ascontiguousarray(ov2, np.int32)
-        _native.lift_deep(ol2, ov2, BLOCK_SIZE)
-        or2 = _native.classify_reps(ol2, ov2)
-        ph, bh = _wide.encode_wide_blocks(ol2, ov2, or2)
-        pd, bd = encode_wide_blocks_tpu(ol2, ov2, or2)
-        assert ph == pd and bh == bd, "device wide encode parity mismatch"
-        enc_best = best_of(run_enc)
-        # e2e framing (like-for-like vs the reference's 1.8 MB/s e2e):
-        # host parse+lift+classify, host plane batching + H2D staging,
-        # then the on-chip plane encode. The stage-only rate is reported
-        # as an extra key, NOT compared against an e2e baseline.
-        enc_e2e = enc_parse + enc_staging + enc_best
-        emit("tpu_wide_encode_throughput", n / enc_e2e / 1e6, "MB/s",
-             (n / enc_e2e / 1e6) / 1.8,
-             stage_only_mbs=round(n / enc_best / 1e6, 2),
-             parse_ms=round(enc_parse * 1e3, 1),
-             staging_ms=round(enc_staging * 1e3, 1))
-
-    # ---- wide profile: staged decode with per-stage breakdown ----
     N_BUCKETS = int(os.environ.get("NLZM_BENCH_BUCKETS", "2"))
 
-    def stage_all():
-        info = parse_container(container)
+    # ---- shared wide-profile plumbing (primary + frontier use this) ----
+    def stage_all(container, info):
         payloads = block_payloads(container, info)
         buckets = prepare_wide_bucketed(
             payloads, info.wide_priors, n_buckets=N_BUCKETS)
@@ -238,28 +173,45 @@ def main() -> None:
             staged["rounds_hint"] = rounds_hint_of(
                 max((info.total_reads[b] for b in idx), default=0))
             staged["dict_arr"] = dict_arr
-        return info, buckets, dict_arr
+        return buckets, dict_arr
 
+    def verify_buckets(info, buckets, label):
+        """Warmup/compile + full correctness check (untimed). An
+        AssertionError here must propagate - a decode mismatch is a
+        correctness regression, not a skippable bench hiccup."""
+        full = np.empty(len(info.comp_sizes) * info.block_size, np.uint8)
+        for staged, idx in buckets:
+            out, _produced = decode_wide_staged(staged, info.block_size)
+            out_np = np.asarray(out)
+            for row, b in enumerate(idx):
+                full[b * info.block_size : (b + 1) * info.block_size] = out_np[row]
+        assert full.tobytes()[: info.total_len] == data, f"{label} decode mismatch"
+
+    def make_run(info, buckets):
+        def run():
+            acc = jnp.zeros((), jnp.int32)
+            for staged, _ in buckets:
+                out, produced = decode_wide_staged(staged, info.block_size)
+                acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+            float(np.asarray(acc))
+        return run
+
+    # ---- build the primary container (host encode timing comes free) ----
+    t0 = time.time()
+    container = encode_container(
+        data, block_size=BLOCK_SIZE, parser="optimal", profile="wide",
+        dict_size=DICT_SIZE,
+    )
+    enc_secs = time.time() - t0
+
+    # ---- PRIMARY metric: wide-profile staged decode, emitted first ----
     t_stage0 = time.time()
-    info, buckets, dict_arr = stage_all()
+    info = parse_container(container)
+    buckets, dict_arr = stage_all(container, info)
     staging_first = time.time() - t_stage0
 
-    # warmup/compile + full correctness check (untimed)
-    full = np.empty(len(info.comp_sizes) * info.block_size, np.uint8)
-    for staged, idx in buckets:
-        out, produced = decode_wide_staged(staged, info.block_size)
-        out_np = np.asarray(out)
-        for row, b in enumerate(idx):
-            full[b * info.block_size : (b + 1) * info.block_size] = out_np[row]
-    assert full.tobytes()[: info.total_len] == data, "TPU wide decode mismatch"
-
-    def run_full():
-        acc = jnp.zeros((), jnp.int32)
-        for staged, _ in buckets:
-            out, produced = decode_wide_staged(staged, info.block_size)
-            acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
-        float(np.asarray(acc))
-
+    verify_buckets(info, buckets, "TPU wide")
+    run_full = make_run(info, buckets)
     best = best_of(run_full)
     mbs = n / best / 1e6
 
@@ -307,35 +259,118 @@ def main() -> None:
     t_scans = best_of(lambda: run_stages("scans"))
     t_asm = best_of(lambda: run_stages("assembly"))
 
-    # ---- v1 FSM profile decode (the reference-compatible block profile) ----
-    from nlzm_tpu.ops.decode_v2 import fsm_decode_v2
-    from nlzm_tpu.parallel.blocks import pack_streams
-
-    v1c = encode_container(data, block_size=BLOCK_SIZE, parser="optimal")
-    v1info = parse_container(v1c)
-    streams = jnp.asarray(pack_streams(v1c, v1info))
-    num_steps = ((max(v1info.num_cmds) + 1 + 255) // 256) * 256
-
-    def run_v1():
-        op_len, op_val = fsm_decode_v2(streams, num_steps)
-        out, produced = lz_expand_parallel(op_len, op_val, v1info.block_size, None, None)
-        acc = jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+    # e2e: the FULL pipeline per rep - container bytes -> host parse +
+    # compact staging -> H2D upload -> device decode -> checksum fetch.
+    # Host staging of bucket k overlaps device compute of bucket k-1
+    # (dispatch is async). Steady-state best-of, same as every metric.
+    def run_e2e():
+        acc = jnp.zeros((), jnp.int32)
+        info2 = parse_container(container)
+        buckets2, _ = stage_all(container, info2)
+        for staged, _ in buckets2:
+            out, produced = decode_wide_staged(staged, info2.block_size)
+            acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
         float(np.asarray(acc))
 
-    # warmup + correctness
-    op_len, op_val = fsm_decode_v2(streams, num_steps)
-    out, _ = lz_expand_parallel(op_len, op_val, v1info.block_size, None, None)
-    v1_full = np.asarray(out).reshape(-1)[: v1info.total_len]
-    assert v1_full.tobytes() == data, "TPU v1 decode mismatch"
-    v1_best = best_of(run_v1)
-    emit("tpu_v1_decode_throughput", n / v1_best / 1e6, "MB/s",
-         (n / v1_best / 1e6) / 123.0)
+    e2e_best = best_of(run_e2e)
+    staging_best = best_of(lambda: (parse_container(container), stage_all(
+        container, info)))
+
+    def emit_primary():
+        emit(
+            "tpu_block_parallel_decode_throughput", mbs, "MB/s", mbs / 123.0,
+            dict_kib=(len(info.dictionary) // 1024 if info.dictionary else 0),
+            ratio=round(len(container) / n, 4),
+            stage_scans_ms=round(t_scans * 1e3, 1),
+            stage_assembly_ms=round(max(t_asm - t_scans, 0.0) * 1e3, 1),
+            stage_expansion_ms=round(max(best - t_asm, 0.0) * 1e3, 1),
+            staging_ms=round(staging_best * 1e3, 1),
+            staging_first_ms=round(staging_first * 1e3, 1),
+            e2e_mbs=round(n / e2e_best / 1e6, 2),
+        )
+
+    emit_primary()
+
+    # ---- host encode metric (timing already paid above) ----
+    emit("host_wide_encode_throughput", n / enc_secs / 1e6, "MB/s",
+         (n / enc_secs / 1e6) / 1.8)
+    emit_primary()
+
+    # ---- device wide plane encode (ops/wide_encode_dev.py) ----
+    # e2e framing (like-for-like vs the reference's 1.8 MB/s e2e):
+    # host parse+lift+classify, plane staging, then the on-chip plane
+    # encode. Byte-parity of the full device payloads vs the host
+    # encoder is asserted untimed on a 1 MiB slice (the relay's 12 MB/s
+    # D2H would otherwise dominate an end-to-end pull; tests/test_wide.py
+    # holds the full four-way differential).
+    from nlzm_tpu import native as _native
+
+    if _native.available() and not over_budget("device encode", 180):
+        try:
+            from nlzm_tpu.ops.wide_encode_dev import (
+                encode_pipeline_tpu, encode_wide_blocks_tpu)
+
+            run_enc, enc_parse, enc_staging = encode_pipeline_tpu(
+                data, BLOCK_SIZE, checksum_only=True)
+            run_enc()  # compile
+            small = data[: 1 << 20]
+            from nlzm_tpu.format import wide as _wide
+            ol2, ov2 = _native.parse_blocks(small, BLOCK_SIZE, 15)
+            ol2 = np.ascontiguousarray(ol2, np.int32)
+            ov2 = np.ascontiguousarray(ov2, np.int32)
+            _native.lift_deep(ol2, ov2, BLOCK_SIZE)
+            or2 = _native.classify_reps(ol2, ov2)
+            ph, bh = _wide.encode_wide_blocks(ol2, ov2, or2)
+            pd, bd = encode_wide_blocks_tpu(ol2, ov2, or2)
+            assert ph == pd and bh == bd, "device wide encode parity mismatch"
+            enc_best = best_of(run_enc)
+            enc_e2e = enc_parse + enc_staging + enc_best
+            emit("tpu_wide_encode_throughput", n / enc_e2e / 1e6, "MB/s",
+                 (n / enc_e2e / 1e6) / 1.8,
+                 stage_only_mbs=round(n / enc_best / 1e6, 2),
+                 parse_ms=round(enc_parse * 1e3, 1),
+                 staging_ms=round(enc_staging * 1e3, 1))
+        except AssertionError:
+            raise  # encode parity regression: fail the bench loudly
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"bench: device encode section failed: {e!r}",
+                  file=sys.stderr, flush=True)
+        emit_primary()
+
+    # ---- v1 FSM profile decode (the reference-compatible block profile) ----
+    if not over_budget("v1 profile", 150):
+        from nlzm_tpu.parallel.blocks import decode_v1_staged, stage_v1_buckets
+
+        v1c = encode_container(data, block_size=BLOCK_SIZE, parser="optimal")
+        v1info = parse_container(v1c)
+        v1buckets = stage_v1_buckets(v1c, v1info)
+
+        def run_v1():
+            acc = jnp.zeros((), jnp.int32)
+            for streams, num_steps, _ in v1buckets:
+                out, produced = decode_v1_staged(streams, num_steps, v1info.block_size)
+                acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
+            float(np.asarray(acc))
+
+        # warmup + correctness
+        v1_full = np.empty(len(v1info.comp_sizes) * v1info.block_size, np.uint8)
+        for streams, num_steps, idx in v1buckets:
+            out_np = np.asarray(
+                decode_v1_staged(streams, num_steps, v1info.block_size)[0])
+            for row, b in enumerate(idx):
+                v1_full[b * v1info.block_size : (b + 1) * v1info.block_size] = (
+                    out_np[row])
+        assert v1_full.tobytes()[: v1info.total_len] == data, "TPU v1 decode mismatch"
+        v1_best = best_of(run_v1)
+        emit("tpu_v1_decode_throughput", n / v1_best / 1e6, "MB/s",
+             (n / v1_best / 1e6) / 123.0)
+        emit_primary()
 
     # ---- NLZC (TPU PPM-class) decode: research codec, NOT headline ----
     # Demoted from the default run (VERDICT r3 weak #4): it loses to the
     # reference PPMd var.I on both axes (r3: 1.4 vs 3.42 MB/s, ratio
     # 0.566 vs 0.337 on this mix). Set NLZM_BENCH_NLZC=1 to measure it.
-    if os.environ.get("NLZM_BENCH_NLZC"):
+    if os.environ.get("NLZM_BENCH_NLZC") == "1" and not over_budget("NLZC", 150):
         from nlzm_tpu.research import ppm_tpu
 
         nlzc_data = data[: 4 << 20]
@@ -354,77 +389,36 @@ def main() -> None:
              (len(nlzc_data) / nlzc_best / 1e6) / 3.42,
              blocks=B_c, ratio=round(len(nlzc_blob) / len(nlzc_data), 4),
              ppmd_ref_ratio=0.337)
+        emit_primary()
 
     # ---- frontier config: 128 KiB blocks + 64 KiB dict ----
     # The best measured ratio/throughput point (VERDICT r3 #5): 4-6%
     # better ratio than 32 KiB blocks on the 2-operand sort path at ~20%
     # decode cost. Ratio anchor: oracle-w20 = 0.3687 on this corpus
-    # (tests/test_ratio_guard.py); target <= 1.25x. Guarded: a failure
-    # here must never take the primary metric line with it.
-    try:
-        fcont = encode_container(
-            data, block_size=131072, parser="optimal", profile="wide",
-            dict_size=65536,
-        )
-        finfo = parse_container(fcont)
-        fbuckets = prepare_wide_bucketed(
-            block_payloads(fcont, finfo), finfo.wide_priors, n_buckets=N_BUCKETS)
-        fdict = (jnp.asarray(np.frombuffer(finfo.dictionary, np.uint8))
-                 if finfo.dictionary else None)
-        for staged, idx in fbuckets:
-            staged["rounds_hint"] = rounds_hint_of(
-                max((finfo.total_reads[b] for b in idx), default=0))
-            staged["dict_arr"] = fdict
+    # (tests/test_ratio_guard.py); target <= 1.25x. Encode/staging
+    # failures are logged and skipped; a decode MISMATCH (AssertionError
+    # in verify_buckets) propagates - that is a correctness regression.
+    if not over_budget("frontier config", 180):
+        try:
+            fcont = encode_container(
+                data, block_size=131072, parser="optimal", profile="wide",
+                dict_size=65536,
+            )
+            finfo = parse_container(fcont)
+            fbuckets, _fdict = stage_all(fcont, finfo)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"bench: frontier staging failed: {e!r}", file=sys.stderr,
+                  flush=True)
+        else:
+            verify_buckets(finfo, fbuckets, "frontier")
+            f_best = best_of(make_run(finfo, fbuckets))
+            emit("tpu_wide_frontier_decode_throughput", n / f_best / 1e6, "MB/s",
+                 (n / f_best / 1e6) / 123.0, block_kib=128, dict_kib=64,
+                 ratio=round(len(fcont) / n, 4))
+        emit_primary()
 
-        # warmup + correctness (untimed)
-        ffull = np.empty(len(finfo.comp_sizes) * finfo.block_size, np.uint8)
-        for staged, idx in fbuckets:
-            out_np = np.asarray(decode_wide_staged(staged, finfo.block_size)[0])
-            for row, b in enumerate(idx):
-                ffull[b * finfo.block_size : (b + 1) * finfo.block_size] = out_np[row]
-        assert ffull.tobytes()[: finfo.total_len] == data, "frontier decode mismatch"
-
-        def run_frontier():
-            acc = jnp.zeros((), jnp.int32)
-            for staged, _ in fbuckets:
-                out, produced = decode_wide_staged(staged, finfo.block_size)
-                acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
-            float(np.asarray(acc))
-
-        f_best = best_of(run_frontier)
-        emit("tpu_wide_frontier_decode_throughput", n / f_best / 1e6, "MB/s",
-             (n / f_best / 1e6) / 123.0, block_kib=128, dict_kib=64,
-             ratio=round(len(fcont) / n, 4))
-    except Exception as e:  # pragma: no cover - diagnostics only
-        print(f"bench: frontier config failed: {e!r}", file=sys.stderr,
-              flush=True)
-
-    # ---- primary metric last ----
-    # e2e: the FULL pipeline per rep - container bytes -> host parse +
-    # compact staging -> H2D upload -> device decode -> checksum fetch.
-    # Host staging of bucket k overlaps device compute of bucket k-1
-    # (dispatch is async). Steady-state best-of, same as every metric.
-    def run_e2e():
-        acc = jnp.zeros((), jnp.int32)
-        info2, buckets2, _ = stage_all()
-        for staged, _ in buckets2:
-            out, produced = decode_wide_staged(staged, info2.block_size)
-            acc = acc + jnp.sum(out.astype(jnp.int32)) + jnp.sum(produced)
-        float(np.asarray(acc))
-
-    e2e_best = best_of(run_e2e)
-    staging_best = best_of(lambda: stage_all())
-    emit(
-        "tpu_block_parallel_decode_throughput", mbs, "MB/s", mbs / 123.0,
-        dict_kib=(len(info.dictionary) // 1024 if info.dictionary else 0),
-        ratio=round(len(container) / n, 4),
-        stage_scans_ms=round(t_scans * 1e3, 1),
-        stage_assembly_ms=round(max(t_asm - t_scans, 0.0) * 1e3, 1),
-        stage_expansion_ms=round(max(best - t_asm, 0.0) * 1e3, 1),
-        staging_ms=round(staging_best * 1e3, 1),
-        staging_first_ms=round(staging_first * 1e3, 1),
-        e2e_mbs=round(n / e2e_best / 1e6, 2),
-    )
+    # ---- primary metric re-emitted as the guaranteed last line ----
+    emit_primary()
 
 
 if __name__ == "__main__":
