@@ -1316,9 +1316,20 @@ void nlzmx_classify_reps_bm(const int* op_len, const int* op_val, long long T,
 // op arrays are [B, t_cap] row-major (block-contiguous); src is the
 // original input so pieces can fall back to literals. Returns 1 if any
 // block overflows t_cap (caller re-runs with more headroom).
+//
+// strict != 0 additionally enforces the COMMAND-MAP invariant: every
+// emitted match's source image (the match's source span; for overlaps
+// the d-wide period) either consists entirely of depth-0 positions
+// (literals / dictionary bytes) or lies within ONE earlier command and,
+// when that command is an overlap, within ONE period of it. Under this
+// invariant a whole command's ancestor map stays in the closed form
+// a + ((i - m) mod d) through every pointer-doubling composition, so
+// the TPU expander can double over ~0.2N commands instead of N
+// positions (nlzm_tpu/ops/expand_ops.py::lz_expand_cmd).
 int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size,
                      int* op_len, int* op_val, long long t_cap, long long B,
-                     int cap, int threads, int* out_depth, long long dlen) {
+                     int cap, int threads, int* out_depth, long long dlen,
+                     int strict) {
   if (threads < 1) threads = 1;
   if (cap < 1) cap = 1;
   std::vector<std::thread> pool;
@@ -1329,7 +1340,7 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
     // index offset dlen: [0, dlen) = shared dictionary (depth 0, no
     // command - chains terminate there), [dlen, dlen+N) = block bytes
     std::vector<int> depth((size_t)(dlen + block_size)), cmd_at((size_t)(dlen + block_size));
-    std::vector<int> in_len, in_val, o_len, o_val;
+    std::vector<int> in_len, in_val, o_len, o_val, cmd_m;
     for (;;) {
       long long b = next.fetch_add(1);
       if (b >= B) return;
@@ -1345,6 +1356,7 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
       in_val.assign(ov, ov + T_in);
       o_len.clear();
       o_val.clear();
+      cmd_m.clear();
       std::fill(depth.begin(), depth.end(), 0);
       std::fill(cmd_at.begin(), cmd_at.begin() + dlen, -1);
       std::fill(cmd_at.begin() + dlen, cmd_at.end(), 0);
@@ -1355,6 +1367,7 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
       auto emit_lit = [&](int y) {
         o_len.push_back(0);
         o_val.push_back(y);
+        cmd_m.push_back((int)pos);
         if (pos < block_size) {
           depth[dlen + pos] = 0;
           cmd_at[dlen + pos] = (int)o_len.size() - 1;
@@ -1364,6 +1377,7 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
       auto emit_match = [&](int d, int l) {
         o_len.push_back(l);
         o_val.push_back(d);
+        cmd_m.push_back((int)pos);
         int span = d < l ? d : l;
         long long s = pos - d;
         for (int i = 0; i < l && pos + i < block_size; i++) {
@@ -1376,6 +1390,18 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
       };
       auto mmin_of = [](long long d) {
         return 2 + (d > 0xFF) + (d > 0xFFF) + (d > 0xFFFFF);
+      };
+      // strict command-map check for an image [s, s+w): one source
+      // command, and one period of it when that command is an overlap.
+      // Only meaningful for non-terminal images (caller gates on depth).
+      auto span_ok = [&](long long s, int w) {
+        int c0 = cmd_at[dlen + s];
+        if (c0 < 0 || cmd_at[dlen + s + w - 1] != c0) return false;
+        if (o_len[c0] > 0 && o_len[c0] > o_val[c0]) {
+          long long m0 = cmd_m[c0], d0 = o_val[c0];
+          if ((s - m0) / d0 != (s + w - 1 - m0) / d0) return false;
+        }
+        return true;
       };
 
       // Bounded-depth emission of one match piece; may lift, split, or
@@ -1393,11 +1419,16 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
             int pmax = 0;
             for (long long j = s; j < pos; j++)
               pmax = depth[dlen + j] > pmax ? depth[dlen + j] : pmax;
-            if (pmax + 1 <= local_cap) {
+            bool sok = !strict || pmax == 0 || span_ok(s, (int)d);
+            if (pmax + 1 <= local_cap && sok) {
               emit_match((int)d, l);
               return;
             }
             // rebuild the period one level shallower, then copy from it
+            // (under strict the fresh copy is itself invariant-clean, so
+            // the remaining overlap's image becomes the new commands -
+            // it re-checks and may rebuild again; l shrinks by d each
+            // pass, so this terminates)
             piece(d, (int)d, local_cap - 1);
             l -= (int)d;
             continue;
@@ -1409,7 +1440,8 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
             int dmax = 0;
             for (int i = 0; i < l; i++)
               dmax = depth[dlen + s + i] > dmax ? depth[dlen + s + i] : dmax;
-            if (dmax + 1 <= local_cap && l >= mmin_of(d)) {
+            bool sok = !strict || dmax == 0 || span_ok(s, l);
+            if (dmax + 1 <= local_cap && l >= mmin_of(d) && sok) {
               emit_match((int)d, l);
               return;
             }
@@ -1418,6 +1450,20 @@ int nlzmx_lift_split(const unsigned char* src, long long n, long long block_size
               // split at the first source-command boundary; tail loops
               int l1 = 1;
               while (l1 < l && cmd_at[dlen + s + l1] == c0) l1++;
+              piece(d, l1, local_cap);
+              l -= l1;
+              split_tail = true;
+              break;
+            }
+            if (strict && dmax > 0 && !sok && dmax + 1 <= local_cap &&
+                c0 >= 0 && o_len[c0] > 0 && o_len[c0] > o_val[c0]) {
+              // depth is fine and the span sits in ONE source command,
+              // but crosses one of its period boundaries (the command is
+              // an overlap): split at the boundary. When depth ALSO
+              // fails, fall through to the lift below instead - lifting
+              // moves the span entirely and strictness re-checks.
+              long long m0 = cmd_m[c0], d0 = o_val[c0];
+              int l1 = (int)(d0 - ((s - m0) % d0));
               piece(d, l1, local_cap);
               l -= l1;
               split_tail = true;
@@ -1471,13 +1517,13 @@ int nlzmx_lift_split_one(const unsigned char* blk, long long blk_len,
                          long long block_size, const int* in_len, const int* in_val,
                          long long T_in, int cap, int* out_len, int* out_val,
                          long long out_cap, long long* out_T, int* out_depth,
-                         long long dlen) {
+                         long long dlen, int strict) {
   if (T_in > out_cap) return 1;
   std::memcpy(out_len, in_len, (size_t)T_in * sizeof(int));
   std::memcpy(out_val, in_val, (size_t)T_in * sizeof(int));
   for (long long k = T_in; k < out_cap; k++) out_len[k] = -1;
   int rc = nlzmx_lift_split(blk, blk_len, block_size, out_len, out_val, out_cap, 1,
-                            cap, 1, out_depth, dlen);
+                            cap, 1, out_depth, dlen, strict);
   if (rc) return 1;
   long long t = 0;
   while (t < out_cap && out_len[t] >= 0) t++;

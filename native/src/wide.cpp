@@ -373,7 +373,8 @@ extern "C" int nlzmx_lift_split_one(const unsigned char* blk, long long blk_len,
                                     long long block_size, const int* in_len,
                                     const int* in_val, long long T_in, int cap,
                                     int* out_len, int* out_val, long long out_cap,
-                                    long long* out_T, int* out_depth, long long dlen);
+                                    long long* out_T, int* out_depth, long long dlen,
+                                    int strict);
 extern "C" void* nlzmx_dict_snapshot_new(const unsigned char* dict, long long dlen,
                                          int hist_bits);
 extern "C" void nlzmx_dict_snapshot_free(void* snap);
@@ -399,7 +400,8 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
                            unsigned char* out, long long out_cap, long long* out_sizes,
                            unsigned char* priors_out, int* out_depths, int* out_ncmds,
                            long long* progress_blocks, const unsigned char* dict,
-                           long long dlen, const unsigned char* priors_in) {
+                           long long dlen, const unsigned char* priors_in,
+                           int strict) {
   using namespace nlzm_wide;
   if (threads < 1) threads = 1;
   long long B = (n + block_size - 1) / block_size;
@@ -450,7 +452,8 @@ int nlzmx_wide_encode_data(const unsigned char* src, long long n, long long bloc
           for (;;) {
             int rc = nlzmx_lift_split_one(src + off, len, block_size, pl.data(), pv.data(),
                                           got, depth_cap, ll.data(), lv_.data(),
-                                          (long long)ll.size(), &T_out, &depth, dlen);
+                                          (long long)ll.size(), &T_out, &depth, dlen,
+                                          strict);
             if (rc == 0) break;
             ll.resize(ll.size() * 2);
             lv_.resize(ll.size());

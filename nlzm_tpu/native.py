@@ -79,7 +79,7 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_lift_split.restype = ctypes.c_int
     lib.nlzmx_lift_split.argtypes = [
         c_u8p, c_i64, c_i64, c_i32p, c_i32p, c_i64, c_i64,
-        ctypes.c_int, ctypes.c_int, c_i32p, c_i64,
+        ctypes.c_int, ctypes.c_int, c_i32p, c_i64, ctypes.c_int,
     ]
 
     lib.nlzmx_wide_encode.restype = ctypes.c_int
@@ -92,7 +92,7 @@ def load() -> ctypes.CDLL:
     lib.nlzmx_wide_encode_data.argtypes = [
         c_u8p, c_i64, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, c_u8p, c_i64, c_i64p, c_u8p, c_i32p, c_i32p, c_i64p,
-        c_u8p, c_i64, c_u8p,
+        c_u8p, c_i64, c_u8p, ctypes.c_int,
     ]
 
     lib.nlzmx_encode_blocks.restype = ctypes.c_int
@@ -369,7 +369,7 @@ def lift_deep(op_len: np.ndarray, op_val: np.ndarray, block_size: int, cap: int 
 
 def lift_split(
     data: bytes, op_len: np.ndarray, op_val: np.ndarray, block_size: int,
-    cap: int = 4, threads: int = 0, dict_len: int = 0,
+    cap: int = 4, threads: int = 0, dict_len: int = 0, strict: bool = False,
 ):
     """Hard-cap literal-ancestor depth by lifting AND splitting matches.
 
@@ -395,6 +395,7 @@ def lift_split(
             _u8p(src), len(data), block_size,
             ol.ctypes.data_as(i32p), ov.ctypes.data_as(i32p), t_cap, B,
             cap, threads, depths.ctypes.data_as(i32p), dict_len,
+            1 if strict else 0,
         )
         if rc == 0:
             # live rows are a prefix of each block's row
@@ -411,7 +412,8 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
                          depth_cap: int = 16, with_priors: bool = True,
                          threads: int = 0, progress=None,
                          dictionary: bytes | None = None,
-                         priors_in: bytes | None = None):
+                         priors_in: bytes | None = None,
+                         strict: bool = False):
     """Full native wide-profile encode: parse -> lift(-split) ->
     rep-classify -> plane encode, one library call with per-thread
     scratch (staged [B, T] op arrays cost ~64 MB of first-touch page
@@ -473,6 +475,7 @@ def wide_encode_pipeline(data: bytes, block_size: int, hist_bits: int,
                 _u8p(darr) if darr is not None else None,
                 len(darr) if darr is not None else 0,
                 _u8p(parr) if parr is not None else None,
+                1 if strict else 0,
             )
             if rc != 1:
                 break
