@@ -349,25 +349,32 @@ def _pack_bits(widths: np.ndarray, values: np.ndarray) -> bytes:
 
 
 def mmin_of(delta: np.ndarray) -> np.ndarray:
+    """Distance-dependent minimum length (dtype-preserving: callers pass
+    i32 at [T, B] scale, where i64 temporaries double the first-touch
+    page-fault bill on this one-core host)."""
+    one = delta.dtype.type(1)
     return (
-        2
-        + (delta > 0xFF).astype(np.int64)
-        + (delta > 0xFFF).astype(np.int64)
-        + (delta > 0xFFFFF).astype(np.int64)
+        2 * one
+        + (delta > 0xFF).astype(delta.dtype)
+        + (delta > 0xFFF).astype(delta.dtype)
+        + (delta > 0xFFFFF).astype(delta.dtype)
     )
 
 
 def dist_slot_of(dv: np.ndarray):
-    """(slot, add_bits, extra) per the reference slot code (NLZM.cpp:1311-1318)."""
-    dv = dv.astype(np.int64)
+    """(slot, add_bits, extra) per the reference slot code (NLZM.cpp:1311-1318).
+
+    dtype-preserving; nbits via float32 log2 (exact for dv < 2^24 -
+    distances are < 2^28 but practical deltas here are < 2^18)."""
+    dt = dv.dtype
     nbits = np.zeros_like(dv)
     nz = dv > 0
-    nbits[nz] = np.floor(np.log2(dv[nz])).astype(np.int64) + 1
+    nbits[nz] = np.floor(np.log2(dv[nz].astype(np.float64))).astype(dt) + dt.type(1)
     big = dv >= 4
-    ab = np.where(big, nbits - 2, 0)
+    ab = np.where(big, nbits - dt.type(2), dt.type(0))
     top = dv >> np.maximum(ab, 0)
-    slot = np.where(big, ((nbits - 1) << 1) + (top & 1), dv)
-    extra = dv & ((1 << np.maximum(ab, 0)) - 1)
+    slot = np.where(big, ((nbits - dt.type(1)) << 1) + (top & 1), dv)
+    extra = dv & ((dt.type(1) << np.maximum(ab, 0)) - dt.type(1))
     return slot, ab, extra
 
 
@@ -384,9 +391,9 @@ def batch_plane_arrays(op_len, op_val, op_rep):
     (jit) plane encoders. The native mirror of the classification lives
     in native/src/wide.cpp.
     """
-    op_len = np.asarray(op_len)
-    op_val = np.asarray(op_val)
-    op_rep = np.asarray(op_rep)
+    op_len = np.asarray(op_len, np.int32)
+    op_val = np.asarray(op_val, np.int32)
+    op_rep = np.asarray(op_rep, np.int32)
     T, B = op_len.shape
     neg = op_len < 0
     n_b = np.where(neg.any(axis=0), neg.argmax(axis=0), T)  # [B]
@@ -397,22 +404,22 @@ def batch_plane_arrays(op_len, op_val, op_rep):
     is_rep = is_match & (op_rep >= 0)
     is_dict = is_match & (op_rep < 0)
 
-    tok = np.where(is_lit, TOK_LIT, np.where(is_rep, TOK_REP, TOK_DICT))
+    tok = np.where(is_lit, TOK_LIT, np.where(is_rep, TOK_REP, TOK_DICT)).astype(np.int32)
 
-    delta = np.where(is_match, op_val, 1).astype(np.int64)
-    lv = np.where(is_match, op_len - mmin_of(delta), 0)
+    delta = np.where(is_match, op_val, 1).astype(np.int32)
+    lv = np.where(is_match, op_len - mmin_of(delta), 0).astype(np.int32)
     assert (lv[is_match] >= 0).all() and (lv[is_match] <= 262).all()
     len_sym = np.minimum(lv, 7)
     is_ext = is_match & (lv >= 7)
     ext = np.maximum(lv - 7, 0)  # <= 255: one joint extension byte
 
-    slot, ab, extra = dist_slot_of(delta - 1)
+    slot, ab, extra = dist_slot_of(delta - np.int32(1))
 
     # raw-bit plane, command order: rep -> 2-bit index; dict -> ab bits
-    widths = np.zeros((T, B), np.int64)
+    widths = np.zeros((T, B), np.int32)
     widths[is_rep] = 2
     widths[is_dict] = ab[is_dict]
-    values = np.zeros((T, B), np.int64)
+    values = np.zeros((T, B), np.int32)
     values[is_rep] = op_rep[is_rep]
     values[is_dict] = extra[is_dict]
     per_block = [
@@ -435,7 +442,7 @@ def batch_plane_arrays(op_len, op_val, op_rep):
         counts = m.sum(axis=0).astype(np.int64)
         T_pad = padded_steps(int(counts.max()), spec.lanes) * spec.lanes
         packed = np.zeros((B, T_pad), np.int32)
-        pos = np.cumsum(m, axis=0) - 1
+        pos = np.cumsum(m, axis=0, dtype=np.int32) - 1
         packed[b_iota[m], pos[m]] = sym[m]
         mask = np.arange(T_pad)[None, :] < counts[:, None]
         batched[spec.name] = (

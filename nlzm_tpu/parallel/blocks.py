@@ -331,19 +331,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def stage_v1_buckets(data: bytes, info: ContainerInfo, n_buckets: int = 2):
-    """Quantile-bucket v1 blocks by command count before the FSM scan.
+def stage_v1_buckets(data: bytes, info: ContainerInfo, n_buckets: int = 0):
+    """Bucket v1 blocks by command count before the FSM scan (adaptive).
 
-    The scan's step count is static per batch, sized by the WORST block
-    (16.9k commands vs ~4.4k median on the bench mix), and the scan body
-    is stream-gather-bound per (block, step) - so one command-dense
-    block makes every block pay its padding. Quantile buckets cut total
-    block-steps ~2x on that mix. Returns [(streams [Bk, Sk] jnp.uint8,
-    num_steps, block_idx_list), ...].
+    The scan's step count is static per batch, sized by the WORST block,
+    so one command-dense block makes every block pay its padding.
+    BUT the measured per-step cost is ~30% fixed + ~70% linear in the
+    batch width (t(step) = 9.2 us + 0.091 us x B on the bench chip), so
+    splitting a 245-block batch into two sequential buckets LOSES (10.1
+    vs 12.7 MB/s measured): each bucket keeps most of the per-step cost
+    while the step counts add. Bucketing only pays when B is large
+    enough that the fixed share is negligible; n_buckets=0 picks
+    1 bucket below 1024 blocks and 2 above. Returns [(streams [Bk, Sk]
+    jnp.uint8, num_steps, block_idx_list), ...].
     """
     import jax.numpy as jnp
 
     B = len(info.comp_sizes)
+    if n_buckets <= 0:
+        n_buckets = 2 if B >= 1024 else 1
     if B <= n_buckets * 8:
         n_buckets = 1
     offs = np.zeros(B + 1, np.int64)

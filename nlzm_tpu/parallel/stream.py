@@ -41,8 +41,7 @@ DEFAULT_BUCKET_BYTES = 16 << 20
 def sample_dict_file(f, flen: int, dict_size: int, segment: int = 2048) -> bytes:
     """blocks.sample_dict over a seekable file (no whole-file read)."""
     if dict_size <= 0 or flen <= dict_size:
-        f.seek(0)
-        return f.read(flen) if flen <= dict_size else b""
+        return b""  # mirror blocks.sample_dict: tiny files get no dict
     nseg = max(1, dict_size // segment)
     stride = flen / nseg
     parts = []
@@ -258,7 +257,8 @@ def _decode_bucket_v1_tpu(payloads, info, first_block):
     nb = len(payloads)
     ncmds = info.num_cmds[first_block : first_block + nb]
     order = sorted(range(nb), key=lambda k: ncmds[k])
-    n_sub = 2 if nb > 16 else 1
+    # sub-bucketing pays only at large widths (see stage_v1_buckets)
+    n_sub = 2 if nb >= 1024 else 1
     out = np.empty(nb * info.block_size, np.uint8)
     for k in range(n_sub):
         idx = order[k * nb // n_sub : (k + 1) * nb // n_sub]
