@@ -105,6 +105,8 @@ class RangeDecoder:
 
 
 class _SEE:
+    EXCLUSION_BIT = False  # A/B toggle (round-5 PPM experiments)
+
     """Adaptive escape-probability bank.
 
     Bucketing follows the reference's quantization idea (ppmd.h:295-317:
@@ -116,14 +118,24 @@ class _SEE:
         self.acc = {}
 
     @staticmethod
-    def _bucket(order_i: int, n_items: int, tot_inc: int) -> int:
+    def _bucket(order_i: int, n_items: int, tot_inc: int,
+                sfx_items: int = -1, num_masked: int = -1) -> int:
         nq = n_items if n_items < 8 else 8 + (n_items.bit_length() - 3)
         tq = min(tot_inc.bit_length(), 12)
-        return (order_i << 8) | (min(nq, 15) << 4) | tq
+        key = (order_i << 8) | (min(nq, 15) << 4) | tq
+        if sfx_items >= 0 and _SEE.EXCLUSION_BIT:
+            # exclusion-aware refinement (var.I's GetSEE mixes the masked
+            # count and suffix width into the index, ppmd_model.cpp:
+            # 600-606): the same context layout escapes more often when
+            # exclusion has removed symbols and the suffix is much wider
+            b1 = 1 if 2 * n_items < sfx_items + num_masked else 0
+            key = (key << 1) | b1
+        return key
 
-    def escape_weight(self, order_i: int, n_items: int, tot_inc: int):
+    def escape_weight(self, order_i: int, n_items: int, tot_inc: int,
+                      sfx_items: int = -1, num_masked: int = -1):
         """(esc_weight >= 1, bucket key) for a context layout."""
-        key = self._bucket(order_i, n_items, tot_inc)
+        key = self._bucket(order_i, n_items, tot_inc, sfx_items, num_masked)
         p = self.acc.get(key, SEE_INIT)
         # esc/(tot_inc + esc) ~= p/SEE_SCALE  ->  esc = tot_inc * p/(SCALE-p)
         esc = (tot_inc * p) // (SEE_SCALE - p)

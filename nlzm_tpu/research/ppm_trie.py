@@ -48,6 +48,7 @@ NODE_BUDGET = 1 << 20  # states across the trie before CutOff
 # the budget, not the modeling, was the gap vs research/ppm.py)
 CUTOFF_FREQ = 3  # contexts with total freq below this are pruned
 INIT_FREQ = 2  # cold start for fresh symbols (swept: 2 beats 1/3/4)
+DERIVED_CF = False  # A/B toggle (round-5 PPM experiments)
 BUMP = 4
 
 ARENA_UNITS = 3 * (NODE_BUDGET >> 1)  # ~1.5 units per budgeted state
@@ -73,8 +74,17 @@ class _BinSEE:
     def __init__(self):
         self.acc = {}
 
-    def prob(self, order, freq):
-        key = (min(order, MAX_ORDER) << 5) | min(freq.bit_length(), 15)
+    def prob(self, order, freq, sfx_n=0, prev_hit=False):
+        """var.I's GetBinSEE mixes the suffix width and the previous
+        byte's binary success into the index (ppmd_model.cpp:613-616);
+        both carry signal here too (run-of-hits contexts are much more
+        deterministic than first encounters)."""
+        key = (
+            (min(order, MAX_ORDER) << 8)
+            | (min(freq.bit_length(), 15) << 4)
+            | (min(sfx_n, 3) << 1)
+            | (1 if prev_hit else 0)
+        )
         return self.acc.get(key, BIN_INIT), key
 
     def update(self, key, hit):
@@ -100,6 +110,7 @@ class _TrieModel:
         self.see = _SEE()
         self.bin_see = _BinSEE()
         self.pruned = 0
+        self.prev_bin = False  # previous byte coded by a first-try binary hit
         self._fresh_arena()
 
     def _fresh_arena(self):
@@ -259,16 +270,54 @@ class _TrieModel:
         a = self.arena
         if (a.hi - a.lo) + (a.units_start - a.text_used) < HEADROOM:
             self.cutoff()
-        c = self.cur
-        while c >= 0:
-            i = self._find(c, sym)
+        # matched context first: bump the found state (+4, var.I's
+        # coder-side bump, ppmd_file.cpp:60) and capture (found_freq,
+        # s0) for the derived insert frequency below
+        mc = self.cur
+        while mc >= 0 and self.order[mc] > matched_order:
+            mc = self.sfx[mc]
+        found_freq, s0 = INIT_FREQ, 0
+        if mc >= 0:
+            i = self._find(mc, sym)
             if i < 0:
+                self._insert(mc, sym, INIT_FREQ)
+                self.nodes += 1
+            else:
+                self.freq[i] += BUMP
+                found_freq = int(self.freq[i])
+                if self._total(mc) > MAX_FREQ:
+                    self._rescale(mc)
+            s0 = max(self._total(mc) - found_freq, 0)
+
+        # contexts deeper than the match (the ones that escaped) get the
+        # symbol inserted at var.I's DERIVED frequency (ppmd_model.cpp:
+        # 402-414): proportional to how dominant the symbol is in the
+        # matched context - a strong symbol starts strong upstream
+        c = self.cur
+        while c >= 0 and self.order[c] > matched_order:
+            if self._find(c, sym) < 0:
+                if DERIVED_CF:
+                    tot = self._total(c)
+                    cf = 2 * found_freq * (tot + 4)
+                    sf = s0 + tot
+                    if cf <= 6 * sf:
+                        f = 1 + (cf > sf) + (cf > 3 * sf)
+                    else:
+                        f = 4 + (cf > 8 * sf) + (cf > 10 * sf) + (cf > 13 * sf)
+                else:
+                    f = INIT_FREQ
+                self._insert(c, sym, f)
+                self.nodes += 1
+            c = self.sfx[c]
+
+        # shallower contexts: cold-start insert where missing (whole-
+        # chain reinforcement measured better than var.I's
+        # touch-nothing-below-the-suffix here: 0.3609 vs 0.3673)
+        c = self.sfx[mc] if mc >= 0 else -1
+        while c >= 0:
+            if self._find(c, sym) < 0:
                 self._insert(c, sym, INIT_FREQ)
                 self.nodes += 1
-            elif self.order[c] >= matched_order:
-                self.freq[i] += BUMP
-                if self._total(c) > MAX_FREQ:
-                    self._rescale(c)
             c = self.sfx[c]
         if self.nodes > NODE_BUDGET:
             self.cutoff()
@@ -384,6 +433,7 @@ def compress(data: bytes) -> bytes:
         excluded = set()
         ctx = m.cur
         matched_order = 0
+        first_bin_hit = False
         # walk the suffix chain, escape until the symbol is found
         while ctx >= 0:
             sp = _spans(m, ctx, excluded)
@@ -394,11 +444,14 @@ def compress(data: bytes) -> bytes:
             if len(items) == 1 and ctx != m.root:
                 # deterministic context: dedicated binary estimator
                 s0, f0 = items[0]
-                p, bkey = m.bin_see.prob(m.order[ctx], f0)
+                p, bkey = m.bin_see.prob(
+                    m.order[ctx], f0,
+                    m.nst[m.sfx[ctx]] if m.sfx[ctx] >= 0 else 0, m.prev_bin)
                 if s0 == byte:
                     enc.encode(0, p, BIN_SCALE)
                     m.bin_see.update(bkey, True)
                     matched_order = m.order[ctx]
+                    first_bin_hit = not excluded
                     break
                 enc.encode(p, BIN_SCALE - p, BIN_SCALE)
                 m.bin_see.update(bkey, False)
@@ -406,7 +459,9 @@ def compress(data: bytes) -> bytes:
                 ctx = m.sfx[ctx]
                 continue
             esc, key = m.see.escape_weight(
-                min(m.order[ctx], MAX_ORDER), len(items), tot_inc
+                min(m.order[ctx], MAX_ORDER), len(items), tot_inc,
+                m.nst[m.sfx[ctx]] if m.sfx[ctx] >= 0 else 256,
+                len(excluded),
             )
             if ctx == m.root:
                 esc = 0 if len(excluded) + len(items) >= 256 else max(1, esc)
@@ -436,6 +491,7 @@ def compress(data: bytes) -> bytes:
             rest = [s for s in range(256) if s not in excluded]
             enc.encode(rest.index(byte), 1, len(rest))
             matched_order = 0
+        m.prev_bin = first_bin_hit
         m.update(byte, matched_order)
         m.advance(byte)
     return out_header + enc.flush()
@@ -452,6 +508,7 @@ def decompress(blob: bytes) -> bytes:
         ctx = m.cur
         matched_order = 0
         byte = None
+        first_bin_hit = False
         while ctx >= 0:
             sp = _spans(m, ctx, excluded)
             if sp is None:
@@ -460,13 +517,16 @@ def decompress(blob: bytes) -> bytes:
             items, tot_inc = sp
             if len(items) == 1 and ctx != m.root:
                 s0, f0 = items[0]
-                p, bkey = m.bin_see.prob(m.order[ctx], f0)
+                p, bkey = m.bin_see.prob(
+                    m.order[ctx], f0,
+                    m.nst[m.sfx[ctx]] if m.sfx[ctx] >= 0 else 0, m.prev_bin)
                 f = dec.get_freq(BIN_SCALE)
                 if f < p:
                     dec.decode(0, p)
                     m.bin_see.update(bkey, True)
                     byte = s0
                     matched_order = m.order[ctx]
+                    first_bin_hit = not excluded
                     break
                 dec.decode(p, BIN_SCALE - p)
                 m.bin_see.update(bkey, False)
@@ -474,7 +534,9 @@ def decompress(blob: bytes) -> bytes:
                 ctx = m.sfx[ctx]
                 continue
             esc, key = m.see.escape_weight(
-                min(m.order[ctx], MAX_ORDER), len(items), tot_inc
+                min(m.order[ctx], MAX_ORDER), len(items), tot_inc,
+                m.nst[m.sfx[ctx]] if m.sfx[ctx] >= 0 else 256,
+                len(excluded),
             )
             if ctx == m.root:
                 esc = 0 if len(excluded) + len(items) >= 256 else max(1, esc)
@@ -505,6 +567,7 @@ def decompress(blob: bytes) -> bytes:
             byte = rest[idx]
             matched_order = 0
         out.append(byte)
+        m.prev_bin = first_bin_hit
         m.update(byte, matched_order)
         m.advance(byte)
     return bytes(out)
