@@ -393,18 +393,20 @@ def main() -> None:
              ppmd_ref_ratio=0.337)
         emit_primary()
 
-    # ---- frontier config: 128 KiB blocks + 64 KiB dict ----
-    # The best measured ratio/throughput point (VERDICT r3 #5): 4-6%
-    # better ratio than 32 KiB blocks on the 2-operand sort path at ~20%
-    # decode cost. Ratio anchor: oracle-w20 = 0.3687 on this corpus
-    # (tests/test_ratio_guard.py); target <= 1.25x. Encode/staging
+    # ---- frontier config: 128 KiB blocks + 128 KiB dict + depth 12 ----
+    # The best measured ratio point (round-5 A/B on the 16 MiB
+    # non-periodic corpus: 1.137x oracle-w20 vs 1.192x for the old
+    # 64 KiB-dict/cap-8 frontier; dict and cap contribute ~3.5% and
+    # ~2.2%). Costs one extra doubling round (cap 12 -> 4 rounds) on the
+    # 2-operand sort path. Ratio anchor: oracle-w20 = 0.3687 on the
+    # non-periodic corpus (tests/test_ratio_guard.py). Encode/staging
     # failures are logged and skipped; a decode MISMATCH (AssertionError
     # in verify_buckets) propagates - that is a correctness regression.
     if not over_budget("frontier config", 180):
         try:
             fcont = encode_container(
                 data, block_size=131072, parser="optimal", profile="wide",
-                dict_size=65536,
+                dict_size=131072, depth_cap=12,
             )
             finfo = parse_container(fcont)
             fbuckets, _fdict = stage_all(fcont, finfo)
@@ -415,8 +417,8 @@ def main() -> None:
             verify_buckets(finfo, fbuckets, "frontier")
             f_best = best_of(make_run(finfo, fbuckets))
             emit("tpu_wide_frontier_decode_throughput", n / f_best / 1e6, "MB/s",
-                 (n / f_best / 1e6) / 123.0, block_kib=128, dict_kib=64,
-                 ratio=round(len(fcont) / n, 4))
+                 (n / f_best / 1e6) / 123.0, block_kib=128, dict_kib=128,
+                 depth_cap=12, ratio=round(len(fcont) / n, 4))
         emit_primary()
 
     # ---- primary metric re-emitted as the guaranteed last line ----
