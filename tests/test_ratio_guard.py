@@ -83,7 +83,9 @@ def test_window20_oracle_delta_nonperiodic(oracle_w20_size, nonperiodic16):
 
 
 def test_big_block_dict_delta_nonperiodic(oracle_w20_size, nonperiodic16):
-    """128 KiB blocks + 64 KiB dict: the best-ratio parallel config."""
+    """Frontier config (128 KiB blocks + 128 KiB dict + depth cap 12):
+    the best-ratio parallel config (round-5 A/B: 1.137x oracle-w20 vs
+    1.190x for the former 64 KiB-dict/cap-8 point)."""
     from nlzm_tpu import native
     from nlzm_tpu.parallel.blocks import encode_container
 
@@ -91,9 +93,9 @@ def test_big_block_dict_delta_nonperiodic(oracle_w20_size, nonperiodic16):
         pytest.skip("native lib not built")
     wide = encode_container(
         nonperiodic16, block_size=131072, parser="optimal", profile="wide",
-        dict_size=65536,
+        dict_size=131072, depth_cap=12,
     )
-    assert len(wide) < oracle_w20_size * 1.21  # measured 1.190 (wire v4)
+    assert len(wide) < oracle_w20_size * 1.16  # measured 1.137
 
 
 def _oracle_size(oracle_runner, data, window_bits):
