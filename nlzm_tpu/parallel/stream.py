@@ -230,8 +230,6 @@ def read_container_head(f) -> ContainerInfo:
 def _decode_bucket_wide_tpu(payloads, info, dict_arr, first_block):
     """Decode one bucket of wide payloads on the device; returns the
     bucket's plain bytes in block order."""
-    import jax.numpy as jnp
-
     from ..ops.wide_decode import (
         decode_wide_staged, prepare_wide_bucketed, rounds_hint_of)
 

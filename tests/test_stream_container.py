@@ -9,7 +9,7 @@ behavior (/root/reference/NLZM.cpp:1870-1885, 2014-2018) at container
 granularity.
 """
 
-import numpy as np
+
 import pytest
 
 from nlzm_tpu import native
