@@ -45,6 +45,9 @@ def plane_encode(syms, rows, n_sym, plane_idx: int, steps: int, prior=None):
     """
     spec = PLANES[plane_idx]
     L, R = spec.lanes, spec.reads
+    # symbols may arrive as uint8 (every plane alphabet fits a byte):
+    # the staging path ships 1/4 the bytes over the relay and casts here
+    syms = tuple(s.astype(_I32) for s in syms)
     B = syms[0].shape[0]
     f32 = jnp.float32
     PX = jax.lax.Precision.HIGHEST
@@ -260,7 +263,10 @@ def encode_pipeline_tpu(data: bytes, block_size: int, hist_bits: int = 15):
                 for r in range(spec.reads)
             )
             staged.append((
-                tuple(jnp.asarray(s, jnp.int32) for s in syms_p),
+                # u8 upload: every plane symbol fits a byte; the H2D
+                # link through the relay was the staging wall (i32
+                # shipped ~4 bytes/symbol ~ 30 MB per 8 MB encoded)
+                tuple(jnp.asarray(s.astype(np.uint8)) for s in syms_p),
                 tuple(
                     None if spec.rows[r] == 1 else jnp.asarray(rows_p[r], jnp.int32)
                     for r in range(spec.reads)
