@@ -414,21 +414,31 @@ def main() -> None:
             print(f"bench: frontier staging failed: {e!r}", file=sys.stderr,
                   flush=True)
         else:
-            try:
-                verify_buckets(finfo, fbuckets, "frontier")
-                f_best = best_of(make_run(finfo, fbuckets))
-                emit("tpu_wide_frontier_decode_throughput", n / f_best / 1e6,
-                     "MB/s", (n / f_best / 1e6) / 123.0, block_kib=128,
-                     dict_kib=128, depth_cap=12,
-                     ratio=round(len(fcont) / n, 4))
-            except AssertionError:
-                raise  # decode mismatch = correctness regression
-            except Exception as e:  # pragma: no cover - diagnostics only
-                # the axon remote-compile service has been seen SIGKILLed
-                # (OOM) on the frontier's 256K-wide shapes; a compiler-
-                # side failure must not take the run's rc with it
-                print(f"bench: frontier run failed: {e!r}", file=sys.stderr,
-                      flush=True)
+            # the frontier RATIO is host-measured and always safe to emit
+            emit("wide_frontier_ratio", len(fcont) / n, "ratio",
+                 (len(fcont) / n) / (len(container) / n), block_kib=128,
+                 dict_kib=128, depth_cap=12,
+                 headline_ratio=round(len(container) / n, 4))
+            # frontier DECODE timing is opt-in: the axon remote-compile
+            # helper SIGKILLs (OOM) or hangs indefinitely on the 256K-wide
+            # 2-operand-sort shapes in this environment - two watchdog
+            # cycles measured 2x 15 min lost with no number. Functional
+            # correctness of the config is pinned on the CPU mesh by
+            # tests; set NLZM_BENCH_FRONTIER=1 to time it on hardware.
+            if os.environ.get("NLZM_BENCH_FRONTIER") == "1":
+                try:
+                    verify_buckets(finfo, fbuckets, "frontier")
+                    f_best = best_of(make_run(finfo, fbuckets))
+                    emit("tpu_wide_frontier_decode_throughput",
+                         n / f_best / 1e6, "MB/s",
+                         (n / f_best / 1e6) / 123.0, block_kib=128,
+                         dict_kib=128, depth_cap=12,
+                         ratio=round(len(fcont) / n, 4))
+                except AssertionError:
+                    raise  # decode mismatch = correctness regression
+                except Exception as e:  # pragma: no cover - diagnostics
+                    print(f"bench: frontier run failed: {e!r}",
+                          file=sys.stderr, flush=True)
         emit_primary()
 
     # ---- primary metric re-emitted as the guaranteed last line ----
