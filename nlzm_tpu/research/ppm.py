@@ -117,12 +117,17 @@ class _SEE:
     def __init__(self) -> None:
         self.acc = {}
 
+    PREV_BIT = True  # A/B toggle: previous-byte binary-success feature
+
     @staticmethod
     def _bucket(order_i: int, n_items: int, tot_inc: int,
-                sfx_items: int = -1, num_masked: int = -1) -> int:
+                sfx_items: int = -1, num_masked: int = -1,
+                prev_hit: bool = False) -> int:
         nq = n_items if n_items < 8 else 8 + (n_items.bit_length() - 3)
         tq = min(tot_inc.bit_length(), 12)
         key = (order_i << 8) | (min(nq, 15) << 4) | tq
+        if _SEE.PREV_BIT:
+            key = (key << 1) | (1 if prev_hit else 0)
         if sfx_items >= 0 and _SEE.EXCLUSION_BIT:
             # exclusion-aware refinement (var.I's GetSEE mixes the masked
             # count and suffix width into the index, ppmd_model.cpp:
@@ -133,9 +138,11 @@ class _SEE:
         return key
 
     def escape_weight(self, order_i: int, n_items: int, tot_inc: int,
-                      sfx_items: int = -1, num_masked: int = -1):
+                      sfx_items: int = -1, num_masked: int = -1,
+                      prev_hit: bool = False):
         """(esc_weight >= 1, bucket key) for a context layout."""
-        key = self._bucket(order_i, n_items, tot_inc, sfx_items, num_masked)
+        key = self._bucket(order_i, n_items, tot_inc, sfx_items, num_masked,
+                           prev_hit)
         p = self.acc.get(key, SEE_INIT)
         # esc/(tot_inc + esc) ~= p/SEE_SCALE  ->  esc = tot_inc * p/(SCALE-p)
         esc = (tot_inc * p) // (SEE_SCALE - p)

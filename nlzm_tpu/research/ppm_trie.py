@@ -461,7 +461,7 @@ def compress(data: bytes) -> bytes:
             esc, key = m.see.escape_weight(
                 min(m.order[ctx], MAX_ORDER), len(items), tot_inc,
                 m.nst[m.sfx[ctx]] if m.sfx[ctx] >= 0 else 256,
-                len(excluded),
+                len(excluded), m.prev_bin,
             )
             if ctx == m.root:
                 esc = 0 if len(excluded) + len(items) >= 256 else max(1, esc)
@@ -536,7 +536,7 @@ def decompress(blob: bytes) -> bytes:
             esc, key = m.see.escape_weight(
                 min(m.order[ctx], MAX_ORDER), len(items), tot_inc,
                 m.nst[m.sfx[ctx]] if m.sfx[ctx] >= 0 else 256,
-                len(excluded),
+                len(excluded), m.prev_bin,
             )
             if ctx == m.root:
                 esc = 0 if len(excluded) + len(items) >= 256 else max(1, esc)
